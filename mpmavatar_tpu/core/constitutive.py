@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import linalg
+from .linalg import safe_norm, safe_sqrt
 
 _I3 = jnp.eye(3, dtype=jnp.float32)
 
@@ -67,10 +68,10 @@ def von_mises_return_mapping(f_trial, mu, lam, yield_stress, xi, hardening: int)
     temp = jnp.mean(eps, axis=-1, keepdims=True)
     tau = 2.0 * mu[..., None] * eps + lam[..., None] * jnp.sum(eps, -1, keepdims=True)
     cond = tau - jnp.mean(tau, axis=-1, keepdims=True)
-    yielding = jnp.linalg.norm(cond, axis=-1) > yield_stress
+    yielding = safe_norm(cond, axis=-1) > yield_stress
 
     eps_hat = eps - temp
-    eps_hat_norm = jnp.linalg.norm(eps_hat, axis=-1) + 1e-6
+    eps_hat_norm = safe_norm(eps_hat, axis=-1) + 1e-6
     delta_gamma = eps_hat_norm - yield_stress / (2.0 * mu)
     eps_new = eps - (delta_gamma / eps_hat_norm)[..., None] * eps_hat
     f_elastic = u @ _mat(jnp.exp(eps_new)) @ jnp.swapaxes(v, -1, -2)
@@ -95,14 +96,14 @@ def von_mises_return_mapping_with_damage(f_trial, mu, lam, yield_stress,
     temp = jnp.mean(eps, axis=-1, keepdims=True)
     tau = 2.0 * mu[..., None] * eps + lam[..., None] * jnp.sum(eps, -1, keepdims=True)
     cond = tau - jnp.mean(tau, axis=-1, keepdims=True)
-    yielding = (jnp.linalg.norm(cond, axis=-1) > yield_stress) & (yield_stress > 0)
+    yielding = (safe_norm(cond, axis=-1) > yield_stress) & (yield_stress > 0)
 
     eps_hat = eps - temp
-    eps_hat_norm = jnp.linalg.norm(eps_hat, axis=-1) + 1e-6
+    eps_hat_norm = safe_norm(eps_hat, axis=-1) + 1e-6
     delta_gamma = eps_hat_norm - yield_stress / (2.0 * mu)
     corr = (delta_gamma / eps_hat_norm)[..., None] * eps_hat
     eps_new = eps - corr
-    ys_soft = yield_stress - softening * jnp.linalg.norm(corr, axis=-1)
+    ys_soft = yield_stress - softening * safe_norm(corr, axis=-1)
     damaged = ys_soft <= 0
     f_elastic = u @ _mat(jnp.exp(eps_new)) @ jnp.swapaxes(v, -1, -2)
 
@@ -125,7 +126,7 @@ def viscoplasticity_return_mapping_stvk(f_trial, mu, yield_stress,
     trace_eps = jnp.sum(eps, axis=-1, keepdims=True)
     eps_hat = eps - trace_eps / 3.0
     s_trial = 2.0 * mu[..., None] * eps_hat
-    s_norm = jnp.linalg.norm(s_trial, axis=-1)
+    s_norm = safe_norm(s_trial, axis=-1)
     y = s_norm - jnp.sqrt(2.0 / 3.0) * yield_stress
     yielding = y > 0
 
@@ -143,7 +144,7 @@ def sand_return_mapping(f_trial, mu, lam, alpha):
     eps = jnp.log(jnp.maximum(jnp.abs(sig), 1e-14))
     tr = jnp.sum(eps, axis=-1)
     eps_hat = eps - (tr / 3.0)[..., None]
-    eps_hat_norm = jnp.linalg.norm(eps_hat, axis=-1)
+    eps_hat_norm = safe_norm(eps_hat, axis=-1)
     delta_gamma = eps_hat_norm + \
         (3.0 * lam + 2.0 * mu) / (2.0 * mu) * tr * alpha
 
@@ -169,7 +170,7 @@ def anisotropy_return_mapping(d, gamma, kappa, friction_coeff):
 
     separated = r33 > 1.0
     fn = kappa * (1.0 - r33) ** 2
-    ff = gamma * jnp.sqrt(r13 * r13 + r23 * r23)
+    ff = gamma * safe_sqrt(r13 * r13 + r23 * r23)
     slipping = ff > friction_coeff * fn
     scale = friction_coeff * fn / jnp.maximum(ff, 1e-20)
 

@@ -28,6 +28,25 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+def safe_sqrt(x):
+    """sqrt with a zero (sub)gradient at x == 0 instead of NaN.
+
+    The sqrt-at-zero NaN would otherwise leak through ``jnp.where``
+    branches under reverse-mode AD (0 * NaN = NaN)."""
+    safe = x > 0
+    return jnp.where(safe, jnp.sqrt(jnp.where(safe, x, 1.0)), 0.0)
+
+
+def safe_norm(x, axis=-1, keepdims=False):
+    """L2 norm with a zero gradient at ||x|| == 0 (see safe_sqrt)."""
+    return safe_sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims))
+
+
+def safe_normalize(x, axis=-1, eps=_EPS):
+    """x / max(||x||, eps) with NaN-free gradients at x == 0."""
+    return x / jnp.maximum(safe_norm(x, axis=axis, keepdims=True), eps)
+
+
 def qr3_pos(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched thin QR of (..., 3, 3) matrices with columns (d1, d2, d3).
 
@@ -37,11 +56,11 @@ def qr3_pos(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     d2 = d[..., :, 1]
     d3 = d[..., :, 2]
 
-    r11 = jnp.linalg.norm(d1, axis=-1)
+    r11 = safe_norm(d1, axis=-1)
     q1 = d1 / jnp.maximum(r11, _EPS)[..., None]
     r12 = jnp.sum(q1 * d2, axis=-1)
     u2 = d2 - r12[..., None] * q1
-    r22 = jnp.linalg.norm(u2, axis=-1)
+    r22 = safe_norm(u2, axis=-1)
     q2 = u2 / jnp.maximum(r22, _EPS)[..., None]
     q3 = jnp.cross(q1, q2)
 
@@ -150,14 +169,14 @@ def svd3(f: jnp.ndarray, sweeps: int = 8) -> tuple[jnp.ndarray, jnp.ndarray, jnp
     # U columns: normalize F @ v_i; rebuild degenerate columns orthogonally.
     fv = jnp.sum(f[..., :, :, None] * v[..., None, :, :], axis=-2)
     u0 = fv[..., :, 0] / jnp.maximum(sigma[..., 0], _EPS)[..., None]
-    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0, axis=-1, keepdims=True), _EPS)
+    u0 = u0 / jnp.maximum(safe_norm(u0, axis=-1, keepdims=True), _EPS)
     u1_raw = fv[..., :, 1] - jnp.sum(fv[..., :, 1] * u0, axis=-1)[..., None] * u0
-    u1_norm = jnp.linalg.norm(u1_raw, axis=-1, keepdims=True)
+    u1_norm = safe_norm(u1_raw, axis=-1, keepdims=True)
     # Degenerate fallback: any vector orthogonal to u0.
     alt = jnp.cross(u0, jnp.where(jnp.abs(u0[..., :1]) < 0.9,
                                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], f.dtype), u0.shape),
                                   jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], f.dtype), u0.shape)))
-    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), _EPS)
+    alt = alt / jnp.maximum(safe_norm(alt, axis=-1, keepdims=True), _EPS)
     u1 = jnp.where(u1_norm > 1e-6, u1_raw / jnp.maximum(u1_norm, _EPS), alt)
     u2 = jnp.cross(u0, u1)
     u = jnp.stack([u0, u1, u2], axis=-1)

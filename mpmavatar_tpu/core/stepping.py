@@ -274,7 +274,8 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     fvel = (mesh_v[col.faces[:, 0]] + mesh_v[col.faces[:, 1]]
             + mesh_v[col.faces[:, 2]]) / 3.0
     fnorm = jnp.cross(p1 - p0, p2 - p0)
-    fnorm = fnorm / jnp.maximum(jnp.linalg.norm(fnorm, axis=-1, keepdims=True),
+    from .linalg import safe_norm
+    fnorm = fnorm / jnp.maximum(safe_norm(fnorm, axis=-1, keepdims=True),
                                 1e-12)
 
     vals = jnp.concatenate([fvel, fnorm], axis=-1)  # scatter both at once
@@ -293,12 +294,12 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     covered = grid_w > 1e-15
     mesh_vel = acc[:, :3] / jnp.maximum(grid_w, 1e-15)[:, None]
     n = acc[:, 3:]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n = n / jnp.maximum(safe_norm(n, axis=-1, keepdims=True), 1e-12)
 
     v_rel = grid_v_out - mesh_vel
     normal_comp = jnp.sum(v_rel * n, axis=-1)
     v_proj = v_rel - jnp.minimum(normal_comp, 0.0)[:, None] * n
-    v_proj_len = jnp.linalg.norm(v_proj, axis=-1)
+    v_proj_len = safe_norm(v_proj, axis=-1)
     fric_len = jnp.maximum(0.0, v_proj_len + normal_comp * col.friction)
     v_fric = jnp.where(
         ((normal_comp < 0.0) & (v_proj_len > 1e-20))[:, None],
@@ -373,7 +374,8 @@ def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt):
                 v2 = v - nc[:, None] * col.normal[None, :]
             else:
                 v2 = v - jnp.minimum(nc, 0.0)[:, None] * col.normal[None, :]
-            vlen = jnp.linalg.norm(v2, axis=-1)
+            from ..core.linalg import safe_norm as _sn
+            vlen = _sn(v2, axis=-1)
             fric = jnp.maximum(0.0, vlen + nc * col.friction)
             v3 = jnp.where(((nc < 0.0) & (vlen > 1e-20))[:, None],
                            (fric / jnp.maximum(vlen, 1e-20))[:, None] * v2,

@@ -1,0 +1,265 @@
+"""Differentiable tile-based 3D Gaussian Splatting rasterizer (pure JAX).
+
+TPU-native replacement for the ``diff_gauss`` CUDA extension used by the
+reference (/root/reference/gaussian_renderer/__init__.py:14,95; slothfulxtx
+fork of graphdeco diff-gaussian-rasterization).  Same math as the CUDA
+forward: EWA projection of 3D covariances (Zwicker), 0.3-pixel low-pass
+dilation, 3-sigma tile binning, depth-sorted front-to-back alpha
+compositing; returns the rendered image, the accumulated alpha ("mask"
+output the reference drivers depend on) and per-gaussian screen radii.
+
+XLA-static design: dynamic per-tile gaussian lists become a fixed-capacity
+(T, K) index table built by a two-pass stable sort; compositing is a
+``lax.scan`` over K in chunks with a running transmittance carry, with
+within-chunk ordering handled by an exclusive cumulative product — fully
+differentiable, no atomics, no dynamic shapes.  A Pallas kernel can later
+replace ``_composite`` without touching the public API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import pytree_dataclass
+
+TILE = 16
+ALPHA_MIN = 1.0 / 255.0
+
+
+@pytree_dataclass
+class CameraArrays:
+    """Device-side camera tensors (see render.cameras.Camera)."""
+    world_view: jnp.ndarray       # (4,4) transposed (row-vector)
+    full_proj: jnp.ndarray        # (4,4) transposed
+    cam_center: jnp.ndarray       # (3,)
+    tanfovx: jnp.ndarray          # scalar
+    tanfovy: jnp.ndarray          # scalar
+
+
+def camera_arrays(cam) -> CameraArrays:
+    return CameraArrays(
+        world_view=jnp.asarray(cam.world_view_transform),
+        full_proj=jnp.asarray(cam.full_proj_transform),
+        cam_center=jnp.asarray(cam.camera_center),
+        tanfovx=jnp.float32(cam.tanfovx),
+        tanfovy=jnp.float32(cam.tanfovy))
+
+
+def project_gaussians(means3d, cov3d, cam: CameraArrays, width: int,
+                      height: int):
+    """World-space gaussians -> screen space (CUDA forward preprocess).
+
+    Returns (means2d (N,2) px, depth (N,), conic (N,3), radius (N,),
+    in_frustum (N,) bool).
+    """
+    n = means3d.shape[0]
+    ones = jnp.ones((n, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=1)
+
+    p_view = hom @ cam.world_view                       # (N,4) row-vector
+    depth = p_view[:, 2]
+    p_proj = hom @ cam.full_proj
+    p_w = 1.0 / (p_proj[:, 3] + 1e-7)
+    ndc = p_proj[:, :3] * p_w[:, None]
+    means2d = jnp.stack([((ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
+                         ((ndc[:, 1] + 1.0) * height - 1.0) * 0.5], axis=-1)
+
+    focal_x = width / (2.0 * cam.tanfovx)
+    focal_y = height / (2.0 * cam.tanfovy)
+
+    # EWA: clamp view-space x/z, y/z like the CUDA kernel
+    tz = jnp.maximum(depth, 1e-4)
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    txtz = jnp.clip(p_view[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    zeros = jnp.zeros_like(tz)
+    j = jnp.stack([
+        jnp.stack([focal_x / tz, zeros, -(focal_x * tx) / (tz * tz)], -1),
+        jnp.stack([zeros, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
+        jnp.stack([zeros, zeros, zeros], -1),
+    ], axis=-2)                                          # (N,3,3)
+    w_rot = cam.world_view[:3, :3].T                     # w2c rotation
+    t_mat = jnp.einsum("ab,nbc->nac", w_rot.T, j.swapaxes(-1, -2))
+    # cov2d = J W cov3d W^T J^T; t_mat = (J W)^T
+    cov2d_full = jnp.einsum("nba,nbc,ncd->nad", t_mat, cov3d, t_mat)
+    c_xx = cov2d_full[:, 0, 0] + 0.3
+    c_yy = cov2d_full[:, 1, 1] + 0.3
+    c_xy = cov2d_full[:, 0, 1]
+
+    det = c_xx * c_yy - c_xy * c_xy
+    det_inv = 1.0 / jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c_yy * det_inv, -c_xy * det_inv, c_xx * det_inv], -1)
+
+    mid = 0.5 * (c_xx + c_yy)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    in_frustum = (depth > 0.2) & (det > 0)
+    radius = jnp.where(in_frustum, radius, 0.0)
+    return means2d, depth, conic, radius, in_frustum
+
+
+def _build_tile_table(means2d, depth, radius, valid, width, height,
+                      max_tiles_per_gauss: int, tile_capacity: int):
+    """Fixed-capacity per-tile index table, depth-sorted.
+
+    Returns (table (T, K) int32 gaussian ids padded with N, counts (T,)).
+    """
+    n = means2d.shape[0]
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+    side = int(np.ceil(np.sqrt(max_tiles_per_gauss)))
+
+    rect_min_x = jnp.clip(((means2d[:, 0] - radius) / TILE).astype(jnp.int32),
+                          0, tiles_x)
+    rect_min_y = jnp.clip(((means2d[:, 1] - radius) / TILE).astype(jnp.int32),
+                          0, tiles_y)
+    rect_max_x = jnp.clip(((means2d[:, 0] + radius + TILE - 1) / TILE
+                           ).astype(jnp.int32), 0, tiles_x)
+    rect_max_y = jnp.clip(((means2d[:, 1] + radius + TILE - 1) / TILE
+                           ).astype(jnp.int32), 0, tiles_y)
+
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(side), jnp.arange(side),
+                                  indexing="ij"), -1).reshape(-1, 2)  # (S,2)
+    ty = rect_min_y[:, None] + offs[None, :, 0]
+    tx = rect_min_x[:, None] + offs[None, :, 1]
+    inst_valid = (valid & (radius > 0))[:, None] & \
+        (ty < rect_max_y[:, None]) & (tx < rect_max_x[:, None])
+    tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
+
+    gauss_id = jnp.broadcast_to(jnp.arange(n)[:, None], tile_id.shape)
+    tile_id = tile_id.reshape(-1)
+    gauss_id = gauss_id.reshape(-1)
+    inst_depth = jnp.broadcast_to(depth[:, None],
+                                  (n, offs.shape[0])).reshape(-1)
+
+    # two-pass stable sort -> (tile, depth) order
+    order1 = jnp.argsort(inst_depth)
+    tile_s = tile_id[order1]
+    order2 = jnp.argsort(tile_s, stable=True)
+    order = order1[order2]
+    tile_sorted = tile_id[order]
+    gauss_sorted = gauss_id[order]
+
+    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_sorted].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    pos_in_tile = jnp.arange(tile_sorted.shape[0]) - starts[tile_sorted]
+
+    table = jnp.full((num_tiles, tile_capacity), n, jnp.int32)
+    ok = (tile_sorted < num_tiles) & (pos_in_tile < tile_capacity)
+    flat_idx = jnp.where(ok, tile_sorted * tile_capacity + pos_in_tile,
+                         num_tiles * tile_capacity)
+    table = table.reshape(-1).at[flat_idx].set(gauss_sorted, mode="drop")
+    return table.reshape(num_tiles, tile_capacity), counts[:num_tiles]
+
+
+def _composite(table, means2d, conic, colors, opacities, width, height,
+               bg, chunk: int = 32):
+    """Front-to-back alpha compositing over the tile table.
+
+    Returns (image (3,H,W), alpha (1,H,W))."""
+    num_tiles, cap = table.shape
+    tiles_x = (width + TILE - 1) // TILE
+    n = means2d.shape[0]
+    nc = colors.shape[-1]
+
+    # pad gaussian attributes with a sentinel (id == n -> zero alpha)
+    means2d_p = jnp.concatenate([means2d, jnp.full((1, 2), -1e6,
+                                                   means2d.dtype)])
+    conic_p = jnp.concatenate([conic, jnp.zeros((1, 3), conic.dtype)])
+    colors_p = jnp.concatenate([colors, jnp.zeros((1, nc), colors.dtype)])
+    opac_p = jnp.concatenate([opacities.reshape(-1),
+                              jnp.zeros((1,), opacities.dtype)])
+
+    # per-tile pixel coordinates (T, TILE*TILE, 2)
+    t_idx = jnp.arange(num_tiles)
+    tile_x0 = (t_idx % tiles_x) * TILE
+    tile_y0 = (t_idx // tiles_x) * TILE
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    pix_x = tile_x0[:, None] + px.reshape(-1)[None, :]
+    pix_y = tile_y0[:, None] + py.reshape(-1)[None, :]
+    pix = jnp.stack([pix_x, pix_y], -1).astype(means2d.dtype)  # (T,P,2)
+
+    def chunk_step(carry, idx_chunk):
+        accum, trans = carry                      # (T,P,nc), (T,P)
+        ids = idx_chunk                           # (T,C)
+        m = means2d_p[ids]                        # (T,C,2)
+        co = conic_p[ids]                         # (T,C,3)
+        col = colors_p[ids]                       # (T,C,nc)
+        op = opac_p[ids]                          # (T,C)
+
+        d = pix[:, :, None, :] - m[:, None, :, :]          # (T,P,C,2)
+        power = -0.5 * (co[:, None, :, 0] * d[..., 0] ** 2
+                        + co[:, None, :, 2] * d[..., 1] ** 2) \
+            - co[:, None, :, 1] * d[..., 0] * d[..., 1]
+        alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(
+            jnp.minimum(power, 0.0)))
+        alpha = jnp.where(power > 0.0, 0.0, alpha)
+        alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)   # (T,P,C)
+
+        one_m = 1.0 - alpha
+        cum = jnp.cumprod(one_m, axis=-1)
+        excl = jnp.concatenate([jnp.ones_like(cum[..., :1]),
+                                cum[..., :-1]], axis=-1)
+        w = alpha * excl * trans[..., None]                # (T,P,C)
+        accum = accum + jnp.einsum("tpc,tcn->tpn", w, col)
+        trans = trans * cum[..., -1]
+        return (accum, trans), None
+
+    p = TILE * TILE
+    accum0 = jnp.zeros((num_tiles, p, nc), means2d.dtype)
+    trans0 = jnp.ones((num_tiles, p), means2d.dtype)
+    chunks = table.reshape(num_tiles, cap // chunk, chunk).swapaxes(0, 1)
+    (accum, trans), _ = jax.lax.scan(chunk_step, (accum0, trans0), chunks)
+
+    img = accum + trans[..., None] * bg[None, None, :nc]
+    # (T, P, nc) -> (nc, H, W) — crop tile padding
+    tiles_y = num_tiles // tiles_x
+    img = img.reshape(tiles_y, tiles_x, TILE, TILE, nc)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(nc, tiles_y * TILE,
+                                               tiles_x * TILE)
+    alpha_map = 1.0 - trans
+    alpha_map = alpha_map.reshape(tiles_y, tiles_x, TILE, TILE)
+    alpha_map = alpha_map.transpose(0, 2, 1, 3).reshape(
+        1, tiles_y * TILE, tiles_x * TILE)
+    return img[:, :height, :width], alpha_map[:, :height, :width]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
+                                   "max_tiles_per_gauss", "chunk"))
+def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
+              bg, width: int, height: int, means2d_offset=None,
+              tile_capacity: int = 512, max_tiles_per_gauss: int = 36,
+              chunk: int = 32):
+    """Full differentiable splatting pass.
+
+    ``means2d_offset`` (N,2), normally zeros, is added to the projected 2D
+    means — differentiate the loss w.r.t. it to get the view-space
+    positional gradients the densification heuristic needs
+    (gaussian_renderer/__init__.py:26-29, gaussian_model.py:524-526).
+
+    Returns dict(render (3,H,W), alpha (1,H,W), radii (N,), depth (N,)).
+    """
+    means2d, depth, conic, radius, in_frustum = project_gaussians(
+        means3d, cov3d, cam, width, height)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+    table, counts = _build_tile_table(means2d, depth, radius, in_frustum,
+                                      width, height, max_tiles_per_gauss,
+                                      tile_capacity)
+    img, alpha = _composite(table, means2d, conic, colors, opacities,
+                            width, height, bg, chunk=chunk)
+    return {"render": img, "alpha": alpha, "radii": radius,
+            "depth": depth, "tile_counts": counts}

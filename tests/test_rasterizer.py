@@ -1,0 +1,131 @@
+"""Rasterizer tests: analytic single-gaussian splats, occlusion ordering,
+alpha mask, differentiability (SURVEY.md §4 test plan item (e))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpmavatar_tpu.render import (Camera, camera_arrays, rasterize,
+                                  render)
+from mpmavatar_tpu.render import gaussians as G
+from mpmavatar_tpu.render.rasterizer import project_gaussians
+
+
+def simple_camera(w=64, h=64, f=60.0, cam_z=-3.0):
+    k = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
+    w2c = np.eye(4)
+    w2c[2, 3] = -cam_z  # camera at z = cam_z looking +z
+    return Camera.from_kw2c("test", w, h, k, w2c, near=0.5, far=20.0)
+
+
+def iso_cov(n, s):
+    return jnp.broadcast_to(jnp.eye(3) * s * s, (n, 3, 3)).astype(jnp.float32)
+
+
+def test_single_gaussian_center_projection():
+    cam = simple_camera()
+    means = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    m2d, depth, conic, radius, vis = project_gaussians(
+        means, iso_cov(1, 0.05), camera_arrays(cam), 64, 64)
+    # center of image is pixel (w-1)/2 with this convention
+    np.testing.assert_allclose(np.asarray(m2d)[0], [31.5, 31.5], atol=0.6)
+    assert float(depth[0]) > 0
+    assert bool(vis[0])
+
+
+def test_single_gaussian_renders_blob():
+    cam = simple_camera()
+    means = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    out = rasterize(means, jnp.asarray([[1.0, 0.0, 0.0]]),
+                    jnp.asarray([0.9]), iso_cov(1, 0.1),
+                    camera_arrays(cam), jnp.zeros(3), 64, 64)
+    img = np.asarray(out["render"])
+    alpha = np.asarray(out["alpha"])
+    assert img.shape == (3, 64, 64)
+    # red blob centered; corner empty
+    assert img[0, 31, 31] > 0.5
+    assert img[1, 31, 31] < 1e-3
+    assert img[0, 0, 0] < 1e-3
+    assert alpha[0, 31, 31] > 0.5
+    assert alpha[0, 0, 0] < 1e-3
+    # radially symmetric-ish
+    np.testing.assert_allclose(img[0, 31, 25], img[0, 31, 37], atol=0.08)
+
+
+def test_gaussian_alpha_profile_matches_analytic():
+    """Peak alpha of a single splat = min(.99, o) * exp(-.5 d^T conic d)."""
+    cam = simple_camera()
+    means = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    opac = 0.8
+    out = rasterize(means, jnp.ones((1, 3)), jnp.asarray([opac]),
+                    iso_cov(1, 0.1), camera_arrays(cam),
+                    jnp.zeros(3), 64, 64)
+    m2d, depth, conic, radius, vis = project_gaussians(
+        means, iso_cov(1, 0.1), camera_arrays(cam), 64, 64)
+    alpha = np.asarray(out["alpha"])[0]
+    c = np.asarray(conic)[0]
+    mu = np.asarray(m2d)[0]
+    for px, py in [(31, 31), (28, 33), (36, 30)]:
+        d = np.array([px, py]) - mu
+        expect = opac * np.exp(-0.5 * (c[0] * d[0] ** 2 + c[2] * d[1] ** 2)
+                               - c[1] * d[0] * d[1])
+        if expect < 1 / 255:
+            expect = 0.0
+        np.testing.assert_allclose(alpha[py, px], expect, atol=1e-3)
+
+
+def test_occlusion_order():
+    """Near gaussian occludes far one regardless of input order."""
+    cam = simple_camera()
+    means = jnp.asarray([[0.0, 0.0, 1.0],    # far, green
+                         [0.0, 0.0, 0.0]],   # near, red
+                        jnp.float32)
+    colors = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    out = rasterize(means, colors, jnp.asarray([0.99, 0.99]),
+                    iso_cov(2, 0.1), camera_arrays(cam), jnp.zeros(3),
+                    64, 64)
+    img = np.asarray(out["render"])
+    assert img[0, 31, 31] > 0.9      # red in front
+    assert img[1, 31, 31] < 0.1
+
+
+def test_background_composited():
+    cam = simple_camera()
+    out = rasterize(jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32),
+                    jnp.ones((1, 3)), jnp.asarray([0.5]), iso_cov(1, 0.05),
+                    camera_arrays(cam), jnp.asarray([0.2, 0.4, 0.6]),
+                    64, 64)
+    img = np.asarray(out["render"])
+    np.testing.assert_allclose(img[:, 0, 0], [0.2, 0.4, 0.6], atol=1e-5)
+
+
+def test_rasterizer_is_differentiable():
+    cam = simple_camera()
+    ca = camera_arrays(cam)
+
+    def loss(means):
+        out = rasterize(means, jnp.ones((2, 3)), jnp.asarray([0.8, 0.8]),
+                        iso_cov(2, 0.1), ca, jnp.zeros(3), 64, 64)
+        return jnp.sum(out["render"] ** 2)
+
+    means = jnp.asarray([[0.0, 0.0, 0.0], [0.3, 0.1, 0.5]], jnp.float32)
+    g = jax.grad(loss)(means)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_mesh_bound_render_end_to_end():
+    """Face-bound gaussians on a triangle render through the full API."""
+    verts = jnp.asarray([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0],
+                         [0.0, 0.5, 0.0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    params = G.init_from_mesh(1, sh_degree=1,
+                              rgb=np.asarray([[0.8, 0.2, 0.2]]))
+    frames = G.face_frames_from_verts(verts, faces)
+    cam = simple_camera()
+    out = render(cam, params, frames, bg_color=jnp.zeros(3),
+                 active_sh_degree=0)
+    img = np.asarray(out["render"])
+    assert np.isfinite(img).all()
+    assert img[0].max() > 0.05          # something rendered
+    assert out["mask"].shape == (1, 64, 64)
