@@ -1,0 +1,111 @@
+"""Benchmark: MPM substeps/sec at ~100k particles on a 128^3 grid.
+
+Baseline target (BASELINE.md): >= 60 substeps/sec on one TPU v5p chip,
+with the anisotropic-cloth constitutive model, SMPL-X-like mesh collider
+and joint pinning active — i.e. the exact inner loop of
+train_material_params.py stage 3/4.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_cloth(nx, ny, y0=1.3, extent=0.9):
+    xs = np.linspace(1.0 - extent / 2, 1.0 + extent / 2, nx)
+    zs = np.linspace(1.0 - extent / 2, 1.0 + extent / 2, ny)
+    verts = np.stack(np.meshgrid(xs, zs, indexing="ij"), -1).reshape(-1, 2)
+    verts = np.stack([verts[:, 0], np.full(len(verts), y0), verts[:, 1]],
+                     -1).astype(np.float32)
+    idx = np.arange(nx * ny).reshape(nx, ny)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([b, d, c], -1)], 0).astype(np.int32)
+    return verts, faces
+
+
+def build_body_sphere(n_theta=48, n_phi=48, center=(1.0, 0.9, 1.0), r=0.25):
+    th = np.linspace(0, np.pi, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    pts = np.stack([np.sin(tt) * np.cos(pp), np.cos(tt),
+                    np.sin(tt) * np.sin(pp)], -1) * r + np.asarray(center)
+    idx = np.arange(n_theta * n_phi).reshape(n_theta, n_phi)
+    a = idx[:-1, :].ravel()
+    b = idx[1:, :].ravel()
+    c = idx[:-1, np.r_[1:n_phi, 0]].ravel()
+    d = idx[1:, np.r_[1:n_phi, 0]].ravel()
+    faces = np.concatenate([np.stack([a, b, c], -1),
+                            np.stack([c, b, d], -1)], 0).astype(np.int32)
+    return pts.reshape(-1, 3).astype(np.float32), faces
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mpmavatar_tpu.core import types
+    from mpmavatar_tpu.sim import MPMSolver
+
+    # ~100k particles: 183x183 vertices + 2*182^2 faces = 99_737
+    nx = ny = 183
+    verts, faces = build_cloth(nx, ny)
+    n_v, n_e = len(verts), len(faces)
+
+    cfg = types.MPMStaticConfig(n_elements=n_e, n_traditional=0,
+                                n_vertices=n_v, n_grid=128, grid_lim=2.0,
+                                material=7, num_joint_v=256, num_joint_f=128)
+    d, r_inv, evol, vvol = types.cloth_geometry(jnp.asarray(verts),
+                                                jnp.asarray(faces))
+    x = jnp.concatenate([jnp.asarray(verts)[faces].mean(1),
+                         jnp.asarray(verts)], 0)
+    vol = jnp.concatenate([evol, vvol], 0)
+    state = types.make_state(cfg, x, faces=faces, d=d, R_inv=r_inv, vol=vol)
+    model = types.make_model(cfg.n_particles, E=2000.0, nu=0.3)
+
+    body_v, body_f = build_body_sphere()
+    solver = MPMSolver(cfg)
+    solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
+    solver.add_mesh_collider(body_f, friction=0.5)
+    solver.add_particle_mover()
+
+    dt = 1e-4
+    substeps = 100
+    mesh_x = jnp.asarray(body_v)
+    mesh_v = jnp.zeros_like(mesh_x)
+    jv = jnp.zeros((cfg.num_joint_v, 3), jnp.float32)
+    jf = jnp.zeros((cfg.num_joint_f, 3), jnp.float32)
+
+    def run_frame(st):
+        st, _ = solver.frame(st, model, dt, substeps, 0.0,
+                             mesh_x=mesh_x, mesh_v=mesh_v,
+                             joint_verts_v=jv, joint_faces_v=jf)
+        return st
+
+    run = jax.jit(run_frame)
+    state = jax.block_until_ready(run(state))         # compile + warmup
+    state = jax.block_until_ready(run(state))
+
+    n_frames = 5
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        state = run(state)
+    jax.block_until_ready(state)
+    dt_wall = time.perf_counter() - t0
+    sps = n_frames * substeps / dt_wall
+
+    print(json.dumps({
+        "metric": "mpm_substeps_per_sec_100k_particles_128grid",
+        "value": round(sps, 2),
+        "unit": "substeps/s",
+        "vs_baseline": round(sps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

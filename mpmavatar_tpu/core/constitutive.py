@@ -172,7 +172,11 @@ def anisotropy_return_mapping(d, gamma, kappa, friction_coeff):
     fn = kappa * (1.0 - r33) ** 2
     ff = gamma * safe_sqrt(r13 * r13 + r23 * r23)
     slipping = ff > friction_coeff * fn
-    scale = friction_coeff * fn / jnp.maximum(ff, 1e-20)
+    # guard: 1/(eps)^2 in the division VJP overflows f32 for tiny eps, and
+    # inf * 0-cotangent = NaN; divide by ff only where actually slipping
+    # (there ff > friction_coeff*fn >= 0).
+    ff_safe = jnp.where(slipping, ff, 1.0)
+    scale = friction_coeff * fn / ff_safe
 
     new_r13 = jnp.where(separated, r13, jnp.where(slipping, r13 * scale, r13))
     new_r23 = jnp.where(separated, r23, jnp.where(slipping, r23 * scale, r23))

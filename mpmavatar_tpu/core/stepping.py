@@ -301,9 +301,11 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     v_proj = v_rel - jnp.minimum(normal_comp, 0.0)[:, None] * n
     v_proj_len = safe_norm(v_proj, axis=-1)
     fric_len = jnp.maximum(0.0, v_proj_len + normal_comp * col.friction)
+    fric_active = (normal_comp < 0.0) & (v_proj_len > 1e-20)
+    len_safe = jnp.where(fric_active, v_proj_len, 1.0)  # NaN-safe VJP
     v_fric = jnp.where(
-        ((normal_comp < 0.0) & (v_proj_len > 1e-20))[:, None],
-        (fric_len / jnp.maximum(v_proj_len, 1e-20))[:, None] * v_proj,
+        fric_active[:, None],
+        (fric_len / len_safe)[:, None] * v_proj,
         v_proj)
     return jnp.where(covered[:, None], v_fric + mesh_vel, grid_v_out)
 
@@ -377,8 +379,10 @@ def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt):
             from ..core.linalg import safe_norm as _sn
             vlen = _sn(v2, axis=-1)
             fric = jnp.maximum(0.0, vlen + nc * col.friction)
-            v3 = jnp.where(((nc < 0.0) & (vlen > 1e-20))[:, None],
-                           (fric / jnp.maximum(vlen, 1e-20))[:, None] * v2,
+            f_act = (nc < 0.0) & (vlen > 1e-20)
+            vlen_safe = jnp.where(f_act, vlen, 1.0)  # NaN-safe VJP
+            v3 = jnp.where(f_act[:, None],
+                           (fric / vlen_safe)[:, None] * v2,
                            v2)
             # NOTE: the reference kernel dead-stores this result and writes
             # zero (mpm_solver.py:653-655) — we keep the physically

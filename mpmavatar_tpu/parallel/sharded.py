@@ -1,0 +1,297 @@
+"""Multi-chip SPMD MPM stepping via shard_map over a device mesh.
+
+New design surface relative to the reference (which is single-GPU with
+inert HF-accelerate plumbing — SURVEY.md §2.7): particles are sharded over
+the ``"dp"`` mesh axis; P2G produces per-shard partial grids that are
+summed with ``jax.lax.psum`` (a ring all-reduce over ICI); grid-level
+operations run replicated; G2P gathers locally; the element<-vertex
+coupling (g2p_e reads updated vertex positions, mpm_utils.py:838-857) is
+closed with one small ``all_gather`` of the vertex block.  The collider
+mesh is sharded over faces with its grid rasterization psum-reduced.
+
+All collective layouts keep traffic on ICI: the only cross-device tensors
+are the dense grid (all-reduce) and the (V, 3) vertex block (all-gather).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import stepping
+from ..core.colliders import ColliderSet
+from ..core.types import MPMStaticConfig, pytree_dataclass
+
+
+@pytree_dataclass
+class ShardedClothState:
+    """Block-separated cloth state; every array shards on axis 0."""
+    xe: jnp.ndarray   # (E, 3) element positions
+    xv: jnp.ndarray   # (V, 3) vertex positions
+    ve: jnp.ndarray   # (E, 3)
+    vv: jnp.ndarray   # (V, 3)
+    Ce: jnp.ndarray   # (E, 3, 3)
+    Cv: jnp.ndarray   # (V, 3, 3)
+    d: jnp.ndarray    # (E, 3, 3)
+    R_inv: jnp.ndarray  # (E, 3)
+    vol_e: jnp.ndarray  # (E,)
+    vol_v: jnp.ndarray  # (V,)
+    mass_e: jnp.ndarray  # (E,)
+    mass_v: jnp.ndarray  # (V,)
+    faces: jnp.ndarray   # (E, 3) global vertex indices
+
+
+@pytree_dataclass
+class UniformModel:
+    """Uniform material scalars (the reference trains scalar D/E/H —
+    train_material_params.py:571-670)."""
+    mu: jnp.ndarray
+    lam: jnp.ndarray
+    gamma: jnp.ndarray
+    kappa: jnp.ndarray
+    friction_coeff: jnp.ndarray
+    gravity: jnp.ndarray
+    mesh_friction: jnp.ndarray
+
+
+def pad_to_multiple(arr, m, axis=0, fill=0.0):
+    n = arr.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths, constant_values=fill)
+
+
+def make_sharded_cloth_state(cfg: MPMStaticConfig, state, n_devices: int
+                             ) -> "ShardedClothState":
+    """Split an MPMState cloth setup into padded per-block arrays.
+
+    Padding uses zero mass/volume so padded particles contribute nothing;
+    padded element faces point at vertex 0 but carry zero stress (zero
+    volume) and zero force."""
+    E, V = cfg.n_elements, cfg.n_vertices
+    T = cfg.n_traditional
+    assert T == 0, "sharded path currently covers the cloth configuration"
+    pe = partial(pad_to_multiple, m=n_devices)
+    return ShardedClothState(
+        xe=pe(state.x[:E]), xv=pe(state.x[E:]),
+        ve=pe(state.v[:E]), vv=pe(state.v[E:]),
+        Ce=pe(state.C[:E]), Cv=pe(state.C[E:]),
+        d=pe(state.d), R_inv=pe(state.R_inv),
+        vol_e=pe(state.vol[:E]), vol_v=pe(state.vol[E:]),
+        mass_e=pe(state.mass[:E]), mass_v=pe(state.mass[E:]),
+        faces=pe(state.faces))
+
+
+def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
+                         um: UniformModel, dt, mesh_x, mesh_v,
+                         joint_verts_v, num_joint_v: int, n_vertices: int,
+                         axis: str):
+    """Device-local body of one substep; runs under shard_map."""
+    from ..core import constitutive
+    from ..core.linalg import safe_norm
+
+    e_loc = st.xe.shape[0]
+    v_loc = st.xv.shape[0]
+    G = cfg.n_grid
+    G3 = G * G * G
+    inv_dx, dx = cfg.inv_dx, cfg.dx
+    my = jax.lax.axis_index(axis)
+
+    ones_e = jnp.ones((e_loc,), st.xe.dtype)
+
+    # ---- stress (local elements) + vertex forces (psum) ---------------
+    d_new = constitutive.anisotropy_return_mapping(
+        st.d, um.gamma * ones_e, um.kappa * ones_e, um.friction_coeff)
+    stress_e, f1, f2, f3 = constitutive.anisotropic_stress(
+        st.R_inv, d_new, st.vol_e, um.mu * ones_e, um.lam * ones_e,
+        um.gamma * ones_e, um.kappa * ones_e)
+    vforce = jnp.zeros((n_vertices, 3), st.xe.dtype)
+    vforce = vforce.at[st.faces[:, 0]].add(f1, mode="drop")
+    vforce = vforce.at[st.faces[:, 1]].add(f2, mode="drop")
+    vforce = vforce.at[st.faces[:, 2]].add(f3, mode="drop")
+    vforce = jax.lax.psum(vforce, axis)
+
+    # my vertex shard's forces
+    v_start = my * v_loc
+    my_vforce = jax.lax.dynamic_slice_in_dim(vforce, v_start, v_loc, axis=0)
+
+    # ---- P2G: local scatter, psum grids ------------------------------
+    def scatter_block(x, mass, vel, C, force_mode, stress=None, vf=None):
+        base, fx, w, dw = stepping.bspline(x, inv_dx)
+        w27 = stepping._stencil_products(w)
+        gidx = stepping._flat_indices(base, G)
+        dpos = (stepping._OFFSETS[None] - fx[:, None, :]) * dx
+        mom = vel[:, None, :] + jnp.einsum("pab,pnb->pna", C, dpos)
+        mass_w = w27 * mass[:, None]
+        if force_mode == "stress":
+            dweight = stepping._dweight27(w, dw, inv_dx)
+            force = -jnp.einsum("pab,pnb->pna", stress, dweight)
+        else:
+            force = w27[..., None] * vf[:, None, :]
+        vals = mass_w[..., None] * mom + dt * force
+        return stepping._scatter_grid(vals, mass_w, gidx, G3)
+
+    gv_e, gm_e = scatter_block(st.xe, st.mass_e, st.ve, st.Ce, "stress",
+                               stress=stress_e)
+    gv_v, gm_v = scatter_block(st.xv, st.mass_v, st.vv, st.Cv, "vertex",
+                               vf=my_vforce)
+    grid_v_in = jax.lax.psum(gv_e + gv_v, axis)
+    grid_m = jax.lax.psum(gm_e + gm_v, axis)
+
+    # ---- grid ops (replicated) ---------------------------------------
+    active = grid_m > 1e-15
+    grid_v_out = jnp.where(
+        active[:, None],
+        grid_v_in / jnp.maximum(grid_m, 1e-15)[:, None]
+        + dt * um.gravity[None, :], 0.0)
+
+    # ---- mesh collider: faces sharded, rasterization psum-reduced ----
+    if mesh_x is not None:
+        mf_loc = mesh_x.shape[0]  # already sharded by face via shard_map
+        p0, p1, p2 = mesh_x[:, 0], mesh_x[:, 1], mesh_x[:, 2]
+        centroid = (p0 + p1 + p2) / 3.0
+        fvel = mesh_v.mean(axis=1)
+        fnorm = jnp.cross(p1 - p0, p2 - p0)
+        fnorm = fnorm / jnp.maximum(
+            safe_norm(fnorm, axis=-1, keepdims=True), 1e-12)
+        base, fx, w, _ = stepping.bspline(centroid, inv_dx)
+        w27 = stepping._stencil_products(w)
+        gidx = stepping._flat_indices(base, G)
+        inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
+        w27 = w27 * inb[:, None].astype(w27.dtype)
+        vals = jnp.concatenate([fvel, fnorm], -1)
+        flat = gidx.reshape(-1)
+        acc = jnp.zeros((G3, 6), st.xe.dtype).at[flat].add(
+            (w27[..., None] * vals[:, None, :]).reshape(-1, 6), mode="drop")
+        gw = jnp.zeros((G3,), st.xe.dtype).at[flat].add(
+            w27.reshape(-1), mode="drop")
+        acc = jax.lax.psum(acc, axis)
+        gw = jax.lax.psum(gw, axis)
+        covered = gw > 1e-15
+        mesh_vel = acc[:, :3] / jnp.maximum(gw, 1e-15)[:, None]
+        n = acc[:, 3:]
+        n = n / jnp.maximum(safe_norm(n, axis=-1, keepdims=True), 1e-12)
+        v_rel = grid_v_out - mesh_vel
+        nc = jnp.sum(v_rel * n, axis=-1)
+        v_proj = v_rel - jnp.minimum(nc, 0.0)[:, None] * n
+        vpl = safe_norm(v_proj, axis=-1)
+        fric = jnp.maximum(0.0, vpl + nc * um.mesh_friction)
+        f_act = (nc < 0.0) & (vpl > 1e-20)
+        vpl_safe = jnp.where(f_act, vpl, 1.0)  # NaN-safe VJP
+        v_fric = jnp.where(f_act[:, None],
+                           (fric / vpl_safe)[:, None] * v_proj,
+                           v_proj)
+        grid_v_out = jnp.where(covered[:, None], v_fric + mesh_vel,
+                               grid_v_out)
+
+    # ---- particle mover (joint pinning): device 0's data, replicated -
+    if joint_verts_v is not None and num_joint_v > 0:
+        xv_all = jax.lax.all_gather(st.xv, axis, tiled=True)
+        pts = xv_all[:num_joint_v]
+        base, fx, w, _ = stepping.bspline(pts, inv_dx)
+        w27 = stepping._stencil_products(w)
+        gidx = stepping._flat_indices(base, G)
+        inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
+        w27 = w27 * inb[:, None].astype(w27.dtype)
+        mv, mw = stepping._scatter_grid(
+            w27[..., None] * joint_verts_v[:, None, :], w27, gidx, G3)
+        covered = mw > 1e-15
+        grid_v_out = jnp.where(covered[:, None],
+                               mv / jnp.maximum(mw, 1e-15)[:, None],
+                               grid_v_out)
+
+    # ---- G2P: vertices locally, then all_gather for elements ---------
+    def gather(x):
+        base, fx, w, dw = stepping.bspline(x, inv_dx)
+        w27 = stepping._stencil_products(w)
+        dweight = stepping._dweight27(w, dw, inv_dx)
+        gidx = jnp.clip(stepping._flat_indices(base, G), 0, G3 - 1)
+        gv = grid_v_out[gidx]
+        new_v = jnp.sum(w27[..., None] * gv, axis=1)
+        dpos = stepping._OFFSETS[None] - fx[:, None, :]
+        new_c = jnp.sum((w27 * inv_dx * 4.0)[..., None, None]
+                        * gv[..., :, None] * dpos[..., None, :], axis=1)
+        grad_v = jnp.sum(gv[..., :, None] * dweight[..., None, :], axis=1)
+        return new_v, new_c, grad_v
+
+    a_min, a_max = dx * 2.0, cfg.grid_lim - dx * 2.0
+    vv_new, cv_new, _ = gather(st.xv)
+    xv_new = jnp.clip(st.xv + dt * vv_new, a_min, a_max)
+
+    _, ce_new, grad_e = gather(st.xe)
+    xv_full = jax.lax.all_gather(xv_new, axis, tiled=True)
+    vv_full = jax.lax.all_gather(vv_new, axis, tiled=True)
+    fa, fb, fc = st.faces[:, 0], st.faces[:, 1], st.faces[:, 2]
+    xe_new = (xv_full[fa] + xv_full[fb] + xv_full[fc]) / 3.0
+    ve_new = (vv_full[fa] + vv_full[fb] + vv_full[fc]) / 3.0
+    d1 = xv_full[fb] - xv_full[fa]
+    d2 = xv_full[fc] - xv_full[fa]
+    d3_old = d_new[..., :, 2]
+    d3 = d3_old + dt * jnp.einsum("eab,eb->ea", grad_e, d3_old)
+    d_out = jnp.stack([d1, d2, d3], axis=-1)
+
+    return dataclasses.replace(
+        st, xe=xe_new, xv=xv_new, ve=ve_new, vv=vv_new, Ce=ce_new,
+        Cv=cv_new, d=d_out)
+
+
+def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
+                               num_substeps: int, dt: float,
+                               num_joint_v: int = 0, axis: str = "dp"):
+    """Build the jitted multi-chip material-training step.
+
+    Returns fn(st: ShardedClothState, um: UniformModel, mesh_x (F,3,3)
+    per-face vertex coords, mesh_v (F,3,3), joint_verts_v, target_verts)
+    -> (loss, grads(UniformModel)) with everything sharded over ``axis``.
+    """
+
+    n_vertices_padded = None  # bound at first call via closure on shapes
+
+    def substeps_and_loss(st, um, mesh_x, mesh_v, joint_verts_v, target):
+        nv = st.xv.shape[0] * device_mesh.shape[axis]
+
+        def body(carry, s):
+            stc = carry
+            mx = mesh_x + (s.astype(jnp.float32) * dt) * mesh_v
+            stc = _local_cloth_substep(cfg, stc, um, dt, mx, mesh_v,
+                                       joint_verts_v, num_joint_v, nv, axis)
+            return stc, None
+
+        st, _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False),
+                             st, jnp.arange(num_substeps))
+        err = jnp.sum((st.xv - target) ** 2)
+        err = jax.lax.psum(err, axis)
+        loss = err / (3.0 * nv)
+        return loss, st
+
+    def step(st, um, mesh_x, mesh_v, joint_verts_v, target):
+        def loss_fn(um_):
+            loss, new_st = substeps_and_loss(st, um_, mesh_x, mesh_v,
+                                             joint_verts_v, target)
+            return loss, new_st
+        (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(um)
+        # um is replicated but each device's grad covers only its loss /
+        # particle shard -> reduce to the true global gradient.
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads, new_st
+
+    sharded = jax.shard_map(
+        step, mesh=device_mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(), P(axis)),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def shard_state(device_mesh: Mesh, st: ShardedClothState, axis="dp"):
+    """Place a ShardedClothState onto the mesh with axis-0 sharding."""
+    spec = NamedSharding(device_mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, spec), st)

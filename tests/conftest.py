@@ -1,12 +1,11 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding paths are exercised without TPU hardware."""
+sharding paths are exercised without TPU hardware.
 
-import os
+Note: this environment preloads jax at interpreter startup with the TPU
+plugin selected via JAX_PLATFORMS, so env vars are too late — switch via
+jax.config before any backend is initialized."""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
