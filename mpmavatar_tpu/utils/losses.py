@@ -1,0 +1,74 @@
+"""Training losses in JAX.
+
+Port of /root/reference/utils/loss_utils.py (L1, windowed SSIM, cloth-body
+collision penalty) and /root/reference/utils/image_utils.py (PSNR).
+Images are (C, H, W) or (B, C, H, W) in [0, 1].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2_loss(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(img1, img2):
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_window(window_size: int, sigma: float = 1.5):
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2d)
+
+
+def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
+    """Windowed SSIM (loss_utils.py:34-64), depthwise gaussian filter."""
+    if img1.ndim == 3:
+        img1 = img1[None]
+        img2 = img2[None]
+    c = img1.shape[1]
+    w = _gaussian_window(window_size)
+    kern = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), [(window_size // 2,) * 2] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c)
+
+    mu1 = filt(img1)
+    mu2 = filt(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filt(img1 * img1) - mu1_sq
+    sigma2_sq = filt(img2 * img2) - mu2_sq
+    sigma12 = filt(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
+        ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return jnp.mean(ssim_map) if size_average else jnp.mean(ssim_map,
+                                                            axis=(1, 2, 3))
+
+
+def collision_loss(cloth_v, smplx_v, smplx_vn, eps: float = 1e-3):
+    """Nearest-neighbour interpenetration penalty
+    (loss_utils.py:85-94)."""
+    d2 = (jnp.sum(cloth_v ** 2, -1)[:, None]
+          - 2.0 * cloth_v @ smplx_v.T
+          + jnp.sum(smplx_v ** 2, -1)[None, :])
+    nn = jnp.argmin(d2, axis=-1)
+    closest_v = smplx_v[nn]
+    closest_vn = smplx_vn[nn]
+    distance = jnp.sum(-closest_vn * (cloth_v - closest_v), axis=-1)
+    return jnp.sum(jnp.maximum(eps - distance, 0.0)) / cloth_v.shape[0]
