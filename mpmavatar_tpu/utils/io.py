@@ -42,14 +42,102 @@ def write_obj(path, verts, faces=None, extra_lines=None):
                 f.write(f"f {fc[0] + 1} {fc[1] + 1} {fc[2] + 1}\n")
 
 
+_PLY_DTYPES = {"float": "<f4", "float32": "<f4", "double": "<f8",
+               "float64": "<f8", "int": "<i4", "int32": "<i4",
+               "uint": "<u4", "uint32": "<u4", "short": "<i2",
+               "ushort": "<u2", "char": "<i1", "uchar": "<u1",
+               "int8": "<i1", "uint8": "<u1"}
+
+
+def _read_ply_raw(path):
+    """Minimal self-contained PLY reader (ascii + binary_little_endian):
+    returns {element_name: structured array or list-prop dict}."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"ply"
+        fmt = None
+        elements = []  # (name, count, [(prop_name, dtype or ("list", ...))])
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                elements.append((name, int(cnt), []))
+            elif line.startswith("property"):
+                parts = line.split()
+                if parts[1] == "list":
+                    elements[-1][2].append(
+                        (parts[4], ("list", _PLY_DTYPES[parts[2]],
+                                    _PLY_DTYPES[parts[3]])))
+                else:
+                    elements[-1][2].append((parts[2],
+                                            _PLY_DTYPES[parts[1]]))
+            elif line == "end_header":
+                break
+        out = {}
+        for name, cnt, props in elements:
+            has_list = any(isinstance(d, tuple) for _, d in props)
+            if not has_list:
+                dt = np.dtype([(n, d) for n, d in props])
+                if fmt == "ascii":
+                    rows = [f.readline().split() for _ in range(cnt)]
+                    arr = np.zeros(cnt, dt)
+                    for i, row in enumerate(rows):
+                        for (n, _), v in zip(props, row):
+                            arr[n][i] = float(v)
+                else:
+                    arr = np.frombuffer(f.read(cnt * dt.itemsize), dt,
+                                        count=cnt)
+                out[name] = arr
+            else:
+                # single list property (face vertex_indices)
+                lname, (_, cdt, idt) = props[0]
+                lists = []
+                if fmt == "ascii":
+                    for _ in range(cnt):
+                        row = f.readline().split()
+                        k = int(row[0])
+                        lists.append([int(x) for x in row[1:1 + k]])
+                else:
+                    cs = np.dtype(cdt).itemsize
+                    it = np.dtype(idt).itemsize
+                    for _ in range(cnt):
+                        k = int(np.frombuffer(f.read(cs), cdt)[0])
+                        lists.append(np.frombuffer(f.read(k * it), idt,
+                                                   count=k))
+                out[name] = {lname: lists}
+        return out
+
+
+def _write_ply_binary(path, name, arr, face_lists=None):
+    """Write one structured-array element (+ optional face list) as
+    binary_little_endian PLY."""
+    inv = {v: k for k, v in _PLY_DTYPES.items()}
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element {name} {len(arr)}\n".encode())
+        for n in arr.dtype.names:
+            t = inv[arr.dtype[n].newbyteorder("<").str]
+            f.write(f"property {t} {n}\n".encode())
+        if face_lists is not None:
+            f.write(f"element face {len(face_lists)}\n".encode())
+            f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"end_header\n")
+        f.write(arr.tobytes())
+        if face_lists is not None:
+            for fl in face_lists:
+                f.write(np.uint8(len(fl)).tobytes())
+                f.write(np.asarray(fl, "<i4").tobytes())
+
+
 def read_ply(path):
-    from plyfile import PlyData
-    ply = PlyData.read(path)
-    verts = np.stack([np.asarray(ply.elements[0][k])
-                      for k in ("x", "y", "z")], axis=1).astype(np.float32)
-    try:
-        faces = np.stack(ply.elements[1]["vertex_indices"]).astype(np.int32)
-    except Exception:
+    data = _read_ply_raw(path)
+    v = data["vertex"]
+    verts = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
+    if "face" in data:
+        faces = np.asarray(list(data["face"].values())[0],
+                           dtype=np.int32)
+    else:
         faces = np.zeros((0, 3), np.int32)
     return verts, faces
 
@@ -57,7 +145,6 @@ def read_ply(path):
 def write_ply_gaussians(path, xyz, features_dc, features_rest, opacity,
                         scaling, rotation, binding=None):
     """3DGS checkpoint PLY layout (scene/gaussian_model.py:229-264)."""
-    from plyfile import PlyData, PlyElement
     n = xyz.shape[0]
     f_dc = np.asarray(features_dc).reshape(n, -1)
     f_rest = np.asarray(features_rest).reshape(n, -1)
@@ -79,14 +166,12 @@ def write_ply_gaussians(path, xyz, features_dc, features_rest, opacity,
     el = np.empty(n, dtype=dtype)
     for i, a in enumerate(attrs):
         el[a] = rows[:, i]
-    PlyData([PlyElement.describe(el, "vertex")]).write(path)
+    _write_ply_binary(path, "vertex", el)
 
 
 def read_ply_gaussians(path):
-    from plyfile import PlyData
-    ply = PlyData.read(path)
-    v = ply.elements[0]
-    names = [p.name for p in v.properties]
+    v = _read_ply_raw(path)["vertex"]
+    names = list(v.dtype.names)
     xyz = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
     f_dc = np.stack([v[n] for n in names if n.startswith("f_dc_")],
                     1).astype(np.float32)
