@@ -87,14 +87,17 @@ def init_shadow_unet(key, ao_mean: np.ndarray, uv_size: int = 256,
         init_conv(keys[4 + i], f"dec{i}", n_in, n_out, sizes[-i - 1],
                   lrelu_slope)
     init_conv(keys[8], "pred", n_dims, 1, sizes[0], 1.0, untied_bias=False)
-    params["_meta"] = jnp.asarray([uv_size, shadow_size, n_dims])
     return params
 
 
 def shadow_unet_apply(params: Dict, ao_map: jnp.ndarray,
-                      lrelu_slope: float = 0.2) -> Dict:
-    """Forward pass (shadow.py:133-181).  ao_map: (B, 1, H, W)."""
-    uv_size, shadow_size, _ = [int(v) for v in np.asarray(params["_meta"])]
+                      lrelu_slope: float = 0.2,
+                      uv_size: int = 256) -> Dict:
+    """Forward pass (shadow.py:133-181).  ao_map: (B, 1, H, W).
+
+    shadow_size is inferred from the stored mean-AO buffer (static under
+    tracing)."""
+    shadow_size = params["ao_mean"].shape[-1]
     sizes = [shadow_size // (2 ** i) for i in range(4)]
 
     if ao_map.shape[-2:] != (shadow_size, shadow_size):

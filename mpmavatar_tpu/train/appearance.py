@@ -36,7 +36,7 @@ def make_optimizer(opt, spatial_lr_scale: float):
                 scaling="scaling", rotation="rotation", opacity="opacity",
                 binding="frozen", alive="frozen"),
             verts_offset="verts", cam_m="cams", cam_c="cams",
-            shadow={k: ("frozen" if k in ("_meta", "ao_mean", "beta")
+            shadow={k: ("frozen" if k in ("ao_mean", "beta")
                         else "shadow") for k in params.shadow})
 
     tx = optax.multi_transform(
