@@ -1,0 +1,92 @@
+"""VPoser v1 body-pose prior decoder in JAX.
+
+Port of the human_body_prior ``VPoser(512, 32, [3, 21])`` decoder used by
+the reference for latent-space pose optimization
+(/root/reference/utils/smplx_deformer.py:32-35,74-76; preprocess mesh
+tracking :433-436).  Architecture: latent(32) -> fc(512) -> lrelu ->
+fc(512) -> lrelu -> fc(21*6) -> continuous-6D -> rotation matrices.
+
+Weights load from the official ``TR00_E096.pt`` checkpoint via
+``load_vposer_torch`` (torch CPU is available in this environment).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_vposer(key, num_neurons=512, latent_dim=32, n_joints=21) -> Dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def lin(k, i, o):
+        bound = 1.0 / np.sqrt(i)
+        return {"w": jax.random.uniform(k, (i, o), jnp.float32,
+                                        -bound, bound),
+                "b": jnp.zeros((o,), jnp.float32)}
+
+    return {"fc1": lin(k1, latent_dim, num_neurons),
+            "fc2": lin(k2, num_neurons, num_neurons),
+            "out": lin(k3, num_neurons, n_joints * 6),
+            "n_joints": n_joints}
+
+
+def load_vposer_torch(path: str) -> Dict:
+    """Convert the official torch checkpoint to our param dict."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    get = lambda k: jnp.asarray(sd[k].numpy())
+    return {
+        "fc1": {"w": get("bodyprior_dec_fc1.weight").T,
+                "b": get("bodyprior_dec_fc1.bias")},
+        "fc2": {"w": get("bodyprior_dec_fc2.weight").T,
+                "b": get("bodyprior_dec_fc2.bias")},
+        "out": {"w": get("bodyprior_dec_out.weight").T,
+                "b": get("bodyprior_dec_out.bias")},
+        "n_joints": 21,
+    }
+
+
+def _leaky(x, slope=0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def rot6d_to_matrix(x):
+    """Continuous 6D rotation representation -> (..., 3, 3)."""
+    a1 = x[..., 0:3]
+    a2 = x[..., 3:6]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True),
+                          1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def vposer_decode(params: Dict, latent: jnp.ndarray) -> jnp.ndarray:
+    """latent (B, 32) -> body-pose rotation matrices (B, 21, 3, 3)."""
+    x = _leaky(latent @ params["fc1"]["w"] + params["fc1"]["b"])
+    x = _leaky(x @ params["fc2"]["w"] + params["fc2"]["b"])
+    x = x @ params["out"]["w"] + params["out"]["b"]
+    n = params["n_joints"]
+    return rot6d_to_matrix(x.reshape(latent.shape[0], n, 6))
+
+
+def matrix_to_axis_angle(r):
+    """(..., 3, 3) -> (..., 3) rotation vectors (for smplx body_pose)."""
+    trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
+    cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    angle = jnp.arccos(cos)
+    axis = jnp.stack([r[..., 2, 1] - r[..., 1, 2],
+                      r[..., 0, 2] - r[..., 2, 0],
+                      r[..., 1, 0] - r[..., 0, 1]], -1)
+    sin = jnp.sin(angle)
+    safe = jnp.abs(sin) > 1e-6
+    axis = jnp.where(safe[..., None],
+                     axis / jnp.where(safe, 2.0 * sin, 1.0)[..., None],
+                     jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
+                                      axis.shape))
+    return axis * angle[..., None]

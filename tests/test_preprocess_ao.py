@@ -1,0 +1,94 @@
+"""Preprocess (garment split, LBS inpainting) and AO baking tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from test_substep_golden import make_cloth
+
+
+def test_garment_split_joint_band_first():
+    from mpmavatar_tpu.preprocess import split_cloth_human
+    verts, faces = make_cloth(nx=12, ny=12)
+    # left half = cloth
+    centers = verts[faces].mean(1)
+    is_cloth = centers[:, 0] < 1.0
+    split = split_cloth_human(verts, faces, is_cloth, iterations=2)
+
+    njv, njf = split["num_joint_v"], split["num_joint_f"]
+    assert njv > 0 and njf > 0
+    # joint prefix convention: first num_joint_v of cloth reordering are
+    # exactly the joint vertices, shared with the human reordering prefix
+    np.testing.assert_array_equal(
+        split["reordered_cloth_v_idx"][:njv],
+        split["reordered_human_v_idx"][:njv])
+    # reindexed faces reference valid local vertices and reproduce the
+    # original geometry
+    ncf = split["new_cloth_faces"]
+    assert ncf.min() >= 0
+    cloth_verts = verts[split["reordered_cloth_v_idx"]]
+    orig = verts[faces[split["reordered_cloth_f_idx"]]]
+    np.testing.assert_allclose(cloth_verts[ncf], orig, atol=1e-6)
+
+
+def test_lbs_inpainting_smooth_fill():
+    from mpmavatar_tpu.preprocess.lbs_inpainting import inpaint_weights
+    verts, faces = make_cloth(nx=10, ny=10)
+    n = len(verts)
+    # two-bone weights varying along x; hide the middle strip
+    t = (verts[:, 0] - verts[:, 0].min()) / np.ptp(verts[:, 0])
+    w = np.stack([1 - t, t], -1)
+    unknown = np.where((t > 0.3) & (t < 0.7))[0]
+    w_noisy = np.array(w)
+    w_noisy[unknown] = 0.0
+    filled = inpaint_weights(verts, faces, w_noisy, unknown)
+    assert np.allclose(filled.sum(1), 1.0, atol=1e-5)
+    # recovered weights close to the smooth ground truth
+    err = np.abs(filled[unknown] - w[unknown]).mean()
+    assert err < 0.1, err
+
+
+def test_ao_bake_occlusion_signal():
+    from mpmavatar_tpu.render.ao import bake_ao, rasterize_uv_chart
+    # two parallel cloth layers: lower layer should be darker (occluded)
+    verts, faces = make_cloth(nx=8, ny=8, y0=1.0, extent=0.6)
+    verts2 = verts + np.array([0.0, 0.08, 0.0])
+    all_v = np.concatenate([verts, verts2])
+    all_f = np.concatenate([faces, faces + len(verts)])
+
+    # trivial UV chart: unit square per layer half
+    uvs = (verts[:, [0, 2]] - verts[:, [0, 2]].min(0)) / \
+        np.ptp(verts[:, [0, 2]], 0)
+    uv_verts = np.concatenate([uvs * [0.48, 1.0],
+                               uvs * [0.48, 1.0] + [0.5, 0.0]])
+    chart = rasterize_uv_chart(uv_verts, all_f, resolution=64)
+    img = bake_ao(jnp.asarray(all_v), jnp.asarray(all_f),
+                  jnp.asarray(chart.face_idx), jnp.asarray(chart.bary),
+                  jnp.asarray(chart.texel_ij), resolution=64,
+                  grid_res=20, n_rays=32, n_steps=8, max_dist=0.3)
+    img = np.asarray(img)[0]
+    assert np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # covered texels per layer from the chart itself
+    covered = np.asarray(chart.texel_ij)
+    is_lower = covered[:, 1] < 32
+    vals = img[covered[:, 0], covered[:, 1]]
+    lower_mean = vals[is_lower].mean()
+    upper_mean = vals[~is_lower].mean()
+    # occluded lower layer is clearly darker; open upper layer nearly lit
+    assert lower_mean < upper_mean - 0.05, (lower_mean, upper_mean)
+    assert upper_mean > 0.97
+
+
+def test_vposer_decode_shapes():
+    import jax
+    from mpmavatar_tpu.avatar.vposer import (init_vposer, vposer_decode,
+                                             matrix_to_axis_angle)
+    params = init_vposer(jax.random.PRNGKey(0))
+    lat = jnp.zeros((2, 32))
+    rots = vposer_decode(params, lat)
+    assert rots.shape == (2, 21, 3, 3)
+    det = np.linalg.det(np.asarray(rots))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
+    aa = matrix_to_axis_angle(rots)
+    assert aa.shape == (2, 21, 3)
+    assert np.isfinite(np.asarray(aa)).all()
