@@ -84,7 +84,7 @@ def test_vposer_decode_shapes():
     from mpmavatar_tpu.avatar.vposer import (init_vposer, vposer_decode,
                                              matrix_to_axis_angle)
     params = init_vposer(jax.random.PRNGKey(0))
-    lat = jnp.zeros((2, 32))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
     rots = vposer_decode(params, lat)
     assert rots.shape == (2, 21, 3, 3)
     det = np.linalg.det(np.asarray(rots))
