@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Metrics CLI: geometry CD/F-Score + appearance PSNR/SSIM(/LPIPS).
+
+Equivalent of /root/reference/eval.py."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import numpy as np
+
+    from mpmavatar_tpu.train.evaluate import (appearance_metrics,
+                                              geometry_metrics)
+    from mpmavatar_tpu.utils.io import read_obj
+    from mpmavatar_tpu.utils.lpips_jax import make_lpips_fn
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--mesh_path", required=True)
+    parser.add_argument("--data_path", required=True)
+    parser.add_argument("--start_idx", type=int, default=660)
+    parser.add_argument("--num_timesteps", type=int, default=200)
+    parser.add_argument("--dataset", default="actorshq",
+                        choices=["actorshq", "4ddress"])
+    parser.add_argument("--lpips_weights", default=None)
+    args = parser.parse_args()
+
+    from PIL import Image
+    frames = list(range(args.start_idx, args.start_idx + args.num_timesteps))
+    _, faces = read_obj(args.mesh_path)
+
+    geo = {"CD": [], "F-Score": []}
+    for idx, frame in enumerate(frames):
+        pv, _ = read_obj(os.path.join(args.output_path, "uvmesh",
+                                      f"{idx:03d}.obj"))
+        if args.dataset == "actorshq":
+            gv, gf = read_obj(os.path.join(args.data_path,
+                                           f"meshes/Frame{frame:06d}.obj"))
+        else:
+            import pickle
+            with open(os.path.join(args.data_path,
+                                   f"Meshes_pkl/mesh-f{frame:05d}.pkl"),
+                      "rb") as f:
+                d = pickle.load(f)
+            gv, gf = d["vertices"], d["faces"]
+        m = geometry_metrics(pv, faces, gv, gf)
+        geo["CD"].append(m["CD"])
+        geo["F-Score"].append(m["F-Score"])
+    for k, v in geo.items():
+        print(k, float(np.mean(v)))
+    np.savez(os.path.join(args.output_path, "geo_metric.npz"), **geo)
+
+    cams = ["Cam007", "Cam127"] if args.dataset == "actorshq" else ["0004"]
+    lpips_fn = make_lpips_fn(args.lpips_weights)
+    app = {"PSNR": [], "SSIM": [], "LPIPS": []}
+    for frame in frames:
+        for cam in cams:
+            pred = np.asarray(Image.open(os.path.join(
+                args.output_path, cam, "pred", f"{frame:04d}.png")),
+                np.float32).transpose(2, 0, 1) / 255.0
+            gt = np.asarray(Image.open(os.path.join(
+                args.output_path, cam, "gt", f"{frame:04d}.png")),
+                np.float32).transpose(2, 0, 1) / 255.0
+            if args.dataset == "actorshq":
+                mask = np.asarray(Image.open(os.path.join(
+                    args.data_path,
+                    f"masks/{cam}/{cam}_mask{frame:06d}.png")),
+                    np.float32) / 255.0
+            else:
+                mask = np.asarray(Image.open(os.path.join(
+                    args.data_path,
+                    f"Capture/{cam}/masks/mask-f{frame:05d}.png")),
+                    np.float32) / 255.0
+            m = appearance_metrics(pred, gt, mask, lpips_fn,
+                                   suppress_white=args.dataset == "actorshq")
+            for k, v in m.items():
+                app[k].append(v)
+    for k, v in app.items():
+        if v:
+            print(k, float(np.mean(v)))
+    np.savez(os.path.join(args.output_path, "app_metric.npz"),
+             **{k: v for k, v in app.items() if v})
+
+
+if __name__ == "__main__":
+    main()

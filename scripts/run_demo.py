@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Zero-shot interaction demo CLI (chair + poured sand + orbit render).
+
+Equivalent of /root/reference/run_demo.py."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mpmavatar_tpu.sim import SimTransform
+    from mpmavatar_tpu.train.demo import (build_demo_sim, get_sand,
+                                          get_spherical_cam)
+    from mpmavatar_tpu.utils.io import read_obj, write_obj
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cloth_obj", required=True)
+    parser.add_argument("--body_obj", required=True)
+    parser.add_argument("--chair_obj", default=None)
+    parser.add_argument("--out_dir", default="./output/demo")
+    parser.add_argument("--num_frames", type=int, default=60)
+    parser.add_argument("--grid_size", type=int, default=250)
+    parser.add_argument("--substep", type=int, default=400)
+    args = parser.parse_args()
+
+    cloth_v, cloth_f = read_obj(args.cloth_obj)
+    body_v, body_f = read_obj(args.body_obj)
+    if args.chair_obj:
+        chair_v, chair_f = read_obj(args.chair_obj)
+        body_f = np.concatenate([body_f, chair_f + len(body_v)])
+        body_v = np.concatenate([body_v, chair_v])
+
+    sand, sand_vol = get_sand()
+    tf = SimTransform.from_verts(cloth_v)
+    cfg, state, model, solver = build_demo_sim(
+        cloth_v, cloth_f, sand, sand_vol, body_v, body_f, tf,
+        grid_size=args.grid_size)
+    # gradual sand release (run_demo.py:524)
+    solver.release_particles_sequentially(
+        state, [0.0, 0.0, 1.0],
+        float(np.asarray(tf.wld2sim(jnp.asarray(sand)))[:, 2].max()),
+        float(np.asarray(tf.wld2sim(jnp.asarray(sand)))[:, 2].min()),
+        start_time=0.0, end_time=args.num_frames / 25.0)
+
+    os.makedirs(os.path.join(args.out_dir, "uvmesh"), exist_ok=True)
+    os.makedirs(os.path.join(args.out_dir, "sand"), exist_ok=True)
+    dt = (1.0 / 25.0) / args.substep
+    mesh_x = tf.wld2sim(jnp.asarray(body_v))
+    mesh_v = jnp.zeros_like(mesh_x)
+    t = 0.0
+    for i in range(args.num_frames):
+        state, t = solver.frame(state, model, dt, args.substep, t,
+                                mesh_x=mesh_x, mesh_v=mesh_v)
+        x = np.asarray(state.x)
+        cloth = np.asarray(tf.sim2wld(jnp.asarray(
+            x[cfg.n_elements + cfg.n_traditional:])))
+        sand_w = np.asarray(tf.sim2wld(jnp.asarray(
+            x[cfg.n_elements:cfg.n_elements + cfg.n_traditional])))
+        write_obj(os.path.join(args.out_dir, "uvmesh", f"{i:03d}.obj"),
+                  cloth, cloth_f)
+        write_obj(os.path.join(args.out_dir, "sand", f"{i:03d}.obj"),
+                  sand_w)
+        print(f"frame {i}: cloth y [{cloth[:, 1].min():.3f}, "
+              f"{cloth[:, 1].max():.3f}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

