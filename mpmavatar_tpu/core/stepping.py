@@ -95,7 +95,7 @@ def _scatter_grid(vel_src, wt_src, gidx, n_cells):
 
 
 def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
-                   dt):
+                   dt, vf_incidence=None):
     """Return-map + stress for all non-vertex particles.
 
     Port of compute_stress_from_F_trial (mpm_utils.py:1017-1105).  Returns
@@ -120,10 +120,18 @@ def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
         f1 = jnp.where(m_e, f1, 0.0)
         f2 = jnp.where(m_e, f2, 0.0)
         f3 = jnp.where(m_e, f3, 0.0)
-        vertex_force = jnp.zeros((V, 3), dtype)
-        vertex_force = vertex_force.at[state.faces[:, 0]].add(f1)
-        vertex_force = vertex_force.at[state.faces[:, 1]].add(f2)
-        vertex_force = vertex_force.at[state.faces[:, 2]].add(f3)
+        if vf_incidence is not None:
+            # scatter-free: per-vertex incident (element, corner) lists
+            # (TPU scatter is row-serialized; see ops.column_transfer)
+            f_corners = jnp.stack([f1, f2, f3], axis=1).reshape(-1, 3)
+            f_corners = jnp.concatenate(
+                [f_corners, jnp.zeros((1, 3), dtype)], 0)
+            vertex_force = jnp.sum(f_corners[vf_incidence], axis=1)
+        else:
+            vertex_force = jnp.zeros((V, 3), dtype)
+            vertex_force = vertex_force.at[state.faces[:, 0]].add(f1)
+            vertex_force = vertex_force.at[state.faces[:, 1]].add(f2)
+            vertex_force = vertex_force.at[state.faces[:, 2]].add(f3)
     else:
         new_d = state.d
         stress_e = jnp.zeros((0, 3, 3), dtype)
@@ -262,7 +270,7 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
 
 
 def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
-                        mesh_x, mesh_v, grid_v_out):
+                        mesh_x, mesh_v, grid_v_out, column_k: int = 0):
     """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
     face centroid velocity + normal to the grid, then project out inward
     relative normal velocity with Coulomb friction."""
@@ -280,16 +288,20 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
 
     vals = jnp.concatenate([fvel, fnorm], axis=-1)  # scatter both at once
     G = cfg.n_grid
-    base, fx, w, _ = bspline(centroid, cfg.inv_dx)
-    w27 = _stencil_products(w)
-    gidx = _flat_indices(base, G)
-    inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
-    w27 = w27 * inb[:, None].astype(w27.dtype)
-    flat = gidx.reshape(-1)
-    acc = jnp.zeros((G3, 6), mesh_x.dtype).at[flat].add(
-        (w27[..., None] * vals[:, None, :]).reshape(-1, 6), mode="drop")
-    grid_w = jnp.zeros((G3,), mesh_x.dtype).at[flat].add(
-        w27.reshape(-1), mode="drop")
+    if column_k > 0:
+        from ..ops import column_transfer as _ct
+        acc, grid_w = _ct.splat_columns(cfg, centroid, vals, column_k)
+    else:
+        base, fx, w, _ = bspline(centroid, cfg.inv_dx)
+        w27 = _stencil_products(w)
+        gidx = _flat_indices(base, G)
+        inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
+        w27 = w27 * inb[:, None].astype(w27.dtype)
+        flat = gidx.reshape(-1)
+        acc = jnp.zeros((G3, 6), mesh_x.dtype).at[flat].add(
+            (w27[..., None] * vals[:, None, :]).reshape(-1, 6), mode="drop")
+        grid_w = jnp.zeros((G3,), mesh_x.dtype).at[flat].add(
+            w27.reshape(-1), mode="drop")
 
     covered = grid_w > 1e-15
     mesh_vel = acc[:, :3] / jnp.maximum(grid_w, 1e-15)[:, None]
@@ -424,16 +436,10 @@ def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt):
     raise TypeError(f"unknown grid BC {type(col)}")
 
 
-def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
-        grid_v_out, dt):
-    """Grid-to-particle gather + advection (g2p_v / g2p_e,
-    mpm_utils.py:716-857).  Preserves the reference's intra-step ordering:
-    vertex/traditional particles update first, then element particles read
-    the *updated* vertex positions/velocities."""
-    E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
-    P = cfg.n_particles
-    G, inv_dx, dx = cfg.n_grid, cfg.inv_dx, cfg.dx
-
+def gather_quantities(cfg: MPMStaticConfig, state: MPMState, grid_v_out):
+    """27-stencil gather: per-particle velocity, APIC C and velocity
+    gradient (the read half of g2p_v/g2p_e)."""
+    G, inv_dx = cfg.n_grid, cfg.inv_dx
     base, fx, w, dw = bspline(state.x, inv_dx)
     w27 = _stencil_products(w)
     dweight = _dweight27(w, dw, inv_dx)
@@ -445,6 +451,22 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
     new_c = jnp.sum((w27 * inv_dx * 4.0)[..., None, None]
                     * gv[..., :, None] * dpos[..., None, :], axis=1)
     grad_v = jnp.sum(gv[..., :, None] * dweight[..., None, :], axis=1)
+    return new_v, new_c, grad_v
+
+
+def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
+        grid_v_out, dt, gathered=None):
+    """Grid-to-particle gather + advection (g2p_v / g2p_e,
+    mpm_utils.py:716-857).  Preserves the reference's intra-step ordering:
+    vertex/traditional particles update first, then element particles read
+    the *updated* vertex positions/velocities."""
+    E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
+    P = cfg.n_particles
+    G, inv_dx, dx = cfg.n_grid, cfg.inv_dx, cfg.dx
+
+    if gathered is None:
+        gathered = gather_quantities(cfg, state, grid_v_out)
+    new_v, new_c, grad_v = gathered
 
     sel = (state.selection == 0)
     a_min, a_max = dx * 2.0, cfg.grid_lim - dx * 2.0
@@ -491,7 +513,8 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
     return x1, v1, c1, f_trial, d_out
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("column_k", "mesh_column_k"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -502,8 +525,16 @@ def p2g2p(cfg: MPMStaticConfig,
           mesh_v: Optional[jnp.ndarray] = None,
           joint_verts_v: Optional[jnp.ndarray] = None,
           joint_faces_v: Optional[jnp.ndarray] = None,
-          joint_traditional_v: Optional[jnp.ndarray] = None) -> MPMState:
-    """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536)."""
+          joint_traditional_v: Optional[jnp.ndarray] = None,
+          column_k: int = 0,
+          mesh_column_k: int = 0,
+          vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
+    """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
+
+    ``column_k > 0`` switches the particle<->grid transfers to the
+    scatter-free column-packed MXU path (ops.column_transfer) with K =
+    column_k slots per (x, y) column; ``mesh_column_k`` likewise for the
+    body-mesh rasterization."""
     import dataclasses as _dc
 
     # pre-P2G particle operations
@@ -522,14 +553,30 @@ def p2g2p(cfg: MPMStaticConfig,
     state = _dc.replace(state, v=v)
 
     new_d, new_f, new_ys, stress, vertex_force = compute_stress(
-        cfg, state, model, dt)
+        cfg, state, model, dt, vf_incidence=vf_incidence)
     state = _dc.replace(state, d=new_d, F=new_f, yield_stress=new_ys)
 
-    grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
+    if column_k > 0:
+        from ..ops import column_transfer as _ct
+        bins = _ct.build_bins(state.x, cfg, column_k)
+        sel = (state.selection == 0).astype(state.x.dtype)
+        rd = model.rpic_damping
+        c = state.C
+        c_eff = (1.0 - rd) * c + rd / 2.0 * (c - jnp.swapaxes(c, -1, -2))
+        c_eff = jnp.where(rd < -0.001, 0.0, c_eff)
+        nnv = cfg.n_no_vertices
+        grid_v_in, grid_m = _ct.p2g_columns(
+            cfg, state, dt * sel[:nnv, None, None] * stress,
+            dt * vertex_force, column_k, bins=bins, c_eff=c_eff)
+    else:
+        bins = None
+        grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
     grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
 
     for mc in colliders.mesh_colliders:
-        grid_v_out = apply_mesh_collider(cfg, mc, mesh_x, mesh_v, grid_v_out)
+        grid_v_out = apply_mesh_collider(cfg, mc, mesh_x, mesh_v,
+                                         grid_v_out,
+                                         column_k=mesh_column_k)
 
     if colliders.use_particle_mover and (
             joint_verts_v is not None or joint_faces_v is not None
@@ -541,5 +588,12 @@ def p2g2p(cfg: MPMStaticConfig,
     for col in colliders.grid_post:
         grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time, dt)
 
-    x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt)
+    if column_k > 0:
+        from ..ops import column_transfer as _ct
+        gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
+                                   bins=bins)
+    else:
+        gathered = None
+    x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,
+                                  gathered=gathered)
     return _dc.replace(state, x=x1, v=v1, C=c1, F_trial=f_trial, d=d1)

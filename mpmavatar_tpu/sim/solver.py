@@ -45,9 +45,21 @@ class MPMSolver:
     1:1, but all mutation is functional: methods return new model/state.
     """
 
-    def __init__(self, cfg: MPMStaticConfig):
+    def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
+                 mesh_column_k: int = 0, faces=None):
+        """``column_k > 0`` enables the scatter-free column-packed MXU
+        transfer path (ops.column_transfer) with that per-column slot
+        capacity; ``faces`` (garment topology) enables the gather-based
+        vertex-force path alongside it."""
         self.cfg = cfg
         self.colliders = ColliderSet()
+        self.column_k = column_k
+        self.mesh_column_k = mesh_column_k
+        self.vf_incidence = None
+        if faces is not None and cfg.n_vertices > 0 and column_k > 0:
+            from ..ops.column_transfer import build_vertex_incidence
+            self.vf_incidence = jnp.asarray(
+                build_vertex_incidence(faces, cfg.n_vertices))
 
     # ------------------------------------------------------------------
     # registration API (mirrors mpm_solver.py)
@@ -167,7 +179,10 @@ class MPMSolver:
     def substep(self, state: MPMState, model: MPMModel, dt, time,
                 **scene) -> MPMState:
         return stepping.p2g2p(self.cfg, self.colliders, state, model,
-                              jnp.float32(dt), jnp.float32(time), **scene)
+                              jnp.float32(dt), jnp.float32(time),
+                              column_k=self.column_k,
+                              mesh_column_k=self.mesh_column_k,
+                              vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
               num_substeps: int, time0,
@@ -193,7 +208,10 @@ class MPMSolver:
             if joint_faces_v is not None:
                 kw["joint_faces_v"] = joint_faces_v
             st = stepping.p2g2p(cfg, colliders, st, model,
-                                jnp.float32(dt), t, **kw)
+                                jnp.float32(dt), t,
+                                column_k=self.column_k,
+                                mesh_column_k=self.mesh_column_k,
+                                vf_incidence=self.vf_incidence, **kw)
             return (st, t + dt), None
 
         if remat:

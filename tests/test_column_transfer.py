@@ -1,0 +1,117 @@
+"""Column-packed MXU transfer path vs the reference scatter/gather path."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpmavatar_tpu.core import stepping, types
+from mpmavatar_tpu.ops import column_transfer as ct
+
+from test_substep_golden import make_cloth, build_pair
+
+
+def _setup():
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.0, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+    rng = np.random.default_rng(0)
+    state = dataclasses.replace(
+        state,
+        v=jnp.asarray(rng.normal(0, 0.1, state.v.shape).astype(np.float32)),
+        C=jnp.asarray(rng.normal(0, 0.5, state.C.shape).astype(np.float32)))
+    dt = 1e-4
+    new_d, new_f, new_ys, stress, vforce = stepping.compute_stress(
+        cfg, state, model, dt)
+    state = dataclasses.replace(state, d=new_d)
+    return cfg, state, model, stress, vforce, dt
+
+
+def test_p2g_columns_matches_scatter():
+    cfg, state, model, stress, vforce, dt = _setup()
+    gv_ref, gm_ref = stepping.p2g(cfg, state, model, stress, vforce, dt)
+
+    sel = (state.selection == 0).astype(jnp.float32)
+    gv, gm = ct.p2g_columns(cfg, state,
+                            dt * sel[:cfg.n_no_vertices, None, None]
+                            * stress,
+                            dt * vforce, K=64)
+    bins = ct.build_bins(state.x, cfg, 64)
+    assert int(bins.overflow) == 0
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=2e-6)
+
+
+def test_g2p_columns_matches_gather():
+    cfg, state, model, stress, vforce, dt = _setup()
+    gv_in, gm = stepping.p2g(cfg, state, model, stress, vforce, dt)
+    grid_v_out = stepping.grid_update(cfg, model, gv_in, gm, dt)
+
+    # reference gather quantities
+    base, fx, w, dw = stepping.bspline(state.x, cfg.inv_dx)
+    w27 = stepping._stencil_products(w)
+    dweight = stepping._dweight27(w, dw, cfg.inv_dx)
+    gidx = jnp.clip(stepping._flat_indices(base, cfg.n_grid), 0,
+                    cfg.n_grid ** 3 - 1)
+    gv = grid_v_out[gidx]
+    ref_v = jnp.sum(w27[..., None] * gv, axis=1)
+    dpos = stepping._OFFSETS[None] - fx[:, None, :]
+    ref_c = jnp.sum((w27 * cfg.inv_dx * 4.0)[..., None, None]
+                    * gv[..., :, None] * dpos[..., None, :], axis=1)
+    ref_g = jnp.sum(gv[..., :, None] * dweight[..., None, :], axis=1)
+
+    new_v, new_c, grad_v = ct.g2p_columns(cfg, state, grid_v_out, K=64)
+    np.testing.assert_allclose(np.asarray(new_v), np.asarray(ref_v),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_c), np.asarray(ref_c),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grad_v), np.asarray(ref_g),
+                               atol=2e-4)
+
+
+def test_bins_overflow_detection():
+    cfg, state, model, stress, vforce, dt = _setup()
+    bins = ct.build_bins(state.x, cfg, 2)  # tiny K -> must overflow
+    assert int(bins.overflow) > 0
+
+
+def test_full_substep_column_path_matches():
+    """p2g2p with column_k equals the scatter path, incl. mesh collider,
+    mover and gather-based vertex forces."""
+    from mpmavatar_tpu.sim import MPMSolver
+    from test_substep_golden import make_cloth, build_pair
+    import jax.numpy as jnp
+
+    verts, faces = make_cloth(nx=6, ny=6, y0=1.0, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+    cfg = dataclasses.replace(cfg, num_joint_v=4, num_joint_f=2)
+
+    mesh_x = jnp.asarray([[0.6, 0.95, 0.6], [1.4, 0.95, 0.6],
+                          [1.4, 0.95, 1.4], [0.6, 0.95, 1.4]], jnp.float32)
+    mesh_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh_v = jnp.zeros_like(mesh_x)
+    jv = jnp.full((4, 3), 0.02, jnp.float32)
+    jf = jnp.full((2, 3), 0.02, jnp.float32)
+
+    def run(col_k, mesh_k):
+        s = MPMSolver(cfg, column_k=col_k, mesh_column_k=mesh_k,
+                      faces=faces if col_k else None)
+        s.add_surface_collider([0.0, 0.4, 0.0], [0.0, 1.0, 0.0])
+        s.add_mesh_collider(mesh_f, friction=0.5)
+        s.add_particle_mover()
+        st = state
+        for k in range(6):
+            st = s.substep(st, model, 1e-4, k * 1e-4, mesh_x=mesh_x,
+                           mesh_v=mesh_v, joint_verts_v=jv,
+                           joint_faces_v=jf)
+        return st
+
+    ref = run(0, 0)
+    fast = run(64, 16)
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fast.v), np.asarray(ref.v),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.d), np.asarray(ref.d),
+                               atol=1e-5)
