@@ -69,7 +69,8 @@ def main():
     model = types.make_model(cfg.n_particles, E=2000.0, nu=0.3)
 
     body_v, body_f = build_body_sphere()
-    solver = MPMSolver(cfg, column_k=64, mesh_column_k=64, faces=faces)
+    solver = MPMSolver(cfg, column_k=48, mesh_column_k=32, faces=faces,
+                       column_c_cap=4096)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()

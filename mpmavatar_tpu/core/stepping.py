@@ -514,7 +514,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 
 @partial(jax.jit, static_argnums=(0,),
-         static_argnames=("column_k", "mesh_column_k"))
+         static_argnames=("column_k", "mesh_column_k", "column_c_cap"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -528,6 +528,7 @@ def p2g2p(cfg: MPMStaticConfig,
           joint_traditional_v: Optional[jnp.ndarray] = None,
           column_k: int = 0,
           mesh_column_k: int = 0,
+          column_c_cap: Optional[int] = None,
           vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
 
@@ -558,7 +559,7 @@ def p2g2p(cfg: MPMStaticConfig,
 
     if column_k > 0:
         from ..ops import column_transfer as _ct
-        bins = _ct.build_bins(state.x, cfg, column_k)
+        bins = _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap)
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C

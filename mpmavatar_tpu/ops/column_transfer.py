@@ -5,19 +5,21 @@ Motivation (measured on TPU v5e): XLA's scatter-add executes row-serially
 35x the whole substep budget.  This module reformulates both transfers as
 dense batched matmuls on the MXU:
 
-1. Particles are binned by their (x, y) base-cell COLUMN and packed into a
-   (G*G, K) slot table (sorted once, built with gathers — no scatter).
-2. The z-axis becomes the 128-wide TPU lane dimension: for every packed
-   particle three z-basis rows are built over all Gz cells —
-   Z0 = w(z), Z1 = (z offset - fz) * w(z), Z2 = w'(z) — so any per-tap
+1. Particles are binned by their (x, y) base-cell COLUMN; only the
+   occupied columns (bounded by a static cap) are packed into a
+   (C_cap, K) slot table — built with sort + gathers, no scatter.
+2. The z-axis becomes the TPU lane dimension: for every packed particle
+   three z-basis rows are built over all Gz cells — Z0 = w(z),
+   Z1 = (z offset - fz) * w(z), Z2 = w'(z) — so every per-tap
    contribution becomes  coeff(shift) . Z_basis(z).
-3. P2G  = einsum("gmz,gmn->gzn") over m = K*3 slots-x-basis and
-   n = 9 shifts x 4 channels, followed by 9 static shifted adds.
-   G2P  = the transposed batched matmul against the shifted grid.
+3. P2G = einsum("cmz,cmn->czn") over m = K*3 slot-basis pairs and
+   n = 9 shifts x channels, then 9 small row scatters (C_cap rows each)
+   place whole z-columns into the grid.  G2P is the transposed batched
+   matmul against gathered grid columns.
 
-Everything is static-shape, scatter-free and differentiable.  Capacity K
-bounds particles per column; overflow particles (slot >= K) are dropped
-with a debug count (raise K for denser scenes).
+Everything is static-shape and differentiable.  K bounds particles per
+column and C_cap bounds occupied columns; overflow is reported in
+ColumnBins.overflow (raise the caps for denser scenes).
 
 Matches core.stepping.p2g / g2p semantics exactly (same B-spline,
 APIC/RPIC, force terms); verified by tests/test_column_transfer.py.
@@ -26,7 +28,7 @@ APIC/RPIC, force terms); verified by tests/test_column_transfer.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,53 +37,66 @@ from ..core.types import MPMModel, MPMState, MPMStaticConfig
 
 
 class ColumnBins(NamedTuple):
-    pid: jnp.ndarray       # (G2, K) particle index (sentinel = P)
-    valid: jnp.ndarray     # (G2, K) bool
-    col_of_p: jnp.ndarray  # (P,) column of each particle
-    rank_of_p: jnp.ndarray  # (P,) slot of each particle (may be >= K)
-    overflow: jnp.ndarray  # () int32: particles dropped
+    active_col: jnp.ndarray  # (C,) occupied column ids (sentinel G*G)
+    pid: jnp.ndarray         # (C, K) particle index (sentinel = P)
+    valid: jnp.ndarray       # (C, K) bool
+    cidx_of_p: jnp.ndarray   # (P,) active-column index of each particle
+    rank_of_p: jnp.ndarray   # (P,) slot of each particle (may be >= K)
+    overflow: jnp.ndarray    # () int32: particles dropped (slot or col cap)
 
 
-def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int) -> ColumnBins:
-    """Sort-and-pack particles by (x, y) base-cell column."""
+def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
+    """Heuristic occupied-column cap for a point population."""
+    return min(cfg.n_grid * cfg.n_grid, max(1024, n_points // 8))
+
+
+def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
+               c_cap: Optional[int] = None) -> ColumnBins:
+    """Sort-and-pack points by (x, y) base-cell column, compacted to the
+    occupied columns."""
     G = cfg.n_grid
     P = x.shape[0]
+    if c_cap is None:
+        c_cap = default_col_cap(cfg, P)
     base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
     col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
                                                         G - 1)
+    active_col = jnp.unique(col, size=c_cap, fill_value=G * G)
+
     perm = jnp.argsort(col)
     sorted_col = col[perm]
-    # first sorted position of each column
-    start = jnp.searchsorted(sorted_col, jnp.arange(G * G))
-    rank_sorted = jnp.arange(P) - start[sorted_col]
-    # counts via start differences (scatter-free)
-    start_ext = jnp.concatenate([start, jnp.asarray([P])])
-    count = (start_ext[1:] - start_ext[:-1]).astype(jnp.int32)
+    start = jnp.searchsorted(sorted_col, active_col)
+    end = jnp.searchsorted(sorted_col, active_col, side="right")
+    count = (end - start).astype(jnp.int32)
 
     slots = jnp.arange(K)
     idx = start[:, None] + slots[None, :]
     valid = slots[None, :] < jnp.minimum(count, K)[:, None]
     pid = jnp.where(valid, perm[jnp.clip(idx, 0, P - 1)], P)
 
+    cidx_of_p = jnp.searchsorted(active_col, col)
+    col_dropped = cidx_of_p >= c_cap
+    first_of_col = jnp.searchsorted(sorted_col, sorted_col)
+    rank_sorted = jnp.arange(P) - first_of_col
     rank_of_p = jnp.zeros((P,), jnp.int32).at[perm].set(rank_sorted)
-    overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
-    return ColumnBins(pid=pid, valid=valid, col_of_p=col,
+    overflow = jnp.sum(((rank_of_p >= K) | col_dropped).astype(jnp.int32))
+    return ColumnBins(active_col=active_col, pid=pid, valid=valid,
+                      cidx_of_p=jnp.clip(cidx_of_p, 0, c_cap - 1),
                       rank_of_p=rank_of_p, overflow=overflow)
 
 
 def _packed_gather(arr, pid, fill=0.0):
-    """Gather per-particle array into (G2, K, ...) with sentinel fill."""
+    """Gather per-particle array into (C, K, ...) with sentinel fill."""
     padded = jnp.concatenate(
         [arr, jnp.full((1,) + arr.shape[1:], fill, arr.dtype)], 0)
     return padded[pid]
 
 
 def _z_bases(px_z, base_z, cfg, Gz):
-    """Three z-basis tensors (G2, K, 3, Gz).
+    """Three z-basis tensors (C, K, 3, Gz).
 
-    Z0[.., z] = wz(z), Z1 = dpos_z_unitless(z) * wz(z), Z2 = dwz(z)*inv_dx
-    where dpos_z_unitless = (z - base_z) - fz (g2p convention; p2g's dx
-    factor is applied by the caller)."""
+    Z0[.., z] = wz(z), Z1 = dpos_z_unitless(z) * wz(z), Z2 = dwz(z) where
+    dpos_z_unitless = (z - base_z) - fz."""
     inv_dx = cfg.inv_dx
     gz = px_z * inv_dx
     fz = gz - base_z.astype(px_z.dtype)
@@ -101,17 +116,14 @@ def _z_bases(px_z, base_z, cfg, Gz):
         z0 = z0 + hitf * wz[..., o, None]
         z1 = z1 + hitf * ((float(o) - fz) * wz[..., o])[..., None]
         z2 = z2 + hitf * dwz[..., o, None]
-    return jnp.stack([z0, z1, z2], axis=-2)  # (G2, K, 3, Gz)
+    return jnp.stack([z0, z1, z2], axis=-2)  # (C, K, 3, Gz)
 
 
 _SHIFTS = [(i, j) for i in range(3) for j in range(3)]
 
 
 def _xy_weights(px_xy, base_xy, cfg):
-    """Per-shift in-plane weights and derivative weights.
-
-    Returns (wxy (G2,K,9), dwx_wy (G2,K,9), wx_dwy (G2,K,9),
-    dpos_x (G2,K,9), dpos_y (G2,K,9)) — dpos unitless (offset - fx)."""
+    """Per-shift in-plane weights/derivatives; all (C, K, 9)."""
     inv_dx = cfg.inv_dx
     g = px_xy * inv_dx
     f = g - base_xy.astype(px_xy.dtype)
@@ -133,6 +145,33 @@ def _xy_weights(px_xy, base_xy, cfg):
     return stack(0), stack(1), stack(2), stack(3), stack(4)
 
 
+def _shift_columns(bins: ColumnBins, G: int):
+    """Target column ids per shift; sentinel G*G for out-of-range or
+    inactive columns.  Returns (C, 9) int32."""
+    ac = bins.active_col
+    cx = ac // G
+    cy = ac % G
+    inactive = ac >= G * G
+    cols = []
+    for (i, j) in _SHIFTS:
+        tx = cx + i
+        ty = cy + j
+        bad = inactive | (tx >= G) | (ty >= G)
+        cols.append(jnp.where(bad, G * G, tx * G + ty))
+    return jnp.stack(cols, 1)
+
+
+def _scatter_columns(out, bins, G, n_ch):
+    """Place (C, Gz, n_ch, 9) shift results into a (G*G, Gz, n_ch) grid
+    via 9 row scatters of C rows each (row-serial scatter cost is bounded
+    by the active-column cap, not the particle count)."""
+    targets = _shift_columns(bins, G)
+    grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
+    for s in range(9):
+        grid = grid.at[targets[:, s]].add(out[..., s], mode="drop")
+    return grid[:G * G]
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
                 K: int, bins: ColumnBins = None, c_eff=None):
@@ -150,7 +189,6 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
         bins = build_bins(state.x, cfg, K)
     pid, valid = bins.pid, bins.valid
 
-    # per-particle effective quantities (same as stepping.p2g)
     stress_eff = jnp.zeros((P, 3, 3), dtype)
     if E > 0:
         stress_eff = stress_eff.at[:E].set(stress[:E])
@@ -165,8 +203,7 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     sel = (state.selection == 0).astype(dtype)
     mass = state.mass * sel
 
-    # pack
-    px = _packed_gather(state.x, pid)              # (G2, K, 3)
+    px = _packed_gather(state.x, pid)              # (C, K, 3)
     pv = _packed_gather(state.v, pid)
     pC = _packed_gather(state.C if c_eff is None else c_eff, pid)
     pmass = _packed_gather(mass, pid) * valid
@@ -176,156 +213,122 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     pisv = _packed_gather(is_vertex, pid)
 
     base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
-    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (G2,K,3,Gz)
+    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (C,K,3,Gz)
     wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2], cfg)
 
-    # coefficients: for shift s, channel c (3 momentum + 1 mass):
-    #   alpha (Z0): wxy * [ m v_c + m (C_cx dpx + C_cy dpy) dx
-    #                       + dt_force_xy-part ]  (dt folded by caller)
-    # assembled below without dt (forces carry dt at call site)
-    # NOTE: stepping.p2g scatters  mass_w * momentum + dt * force;
-    # we take dt as an argument via the stress/vforce pre-scaling done in
-    # p2g2p_fast, so here force terms are already dt-scaled.
-    mC = pmass[..., None, None] * pC                     # (G2,K,3,3)
-    mv = pmass[..., None] * pv                           # (G2,K,3)
+    mC = pmass[..., None, None] * pC                     # (C,K,3,3)
+    mv = pmass[..., None] * pv                           # (C,K,3)
 
     S = 9
-    # alpha: (G2,K,S,4)
+    # alpha (Z0): momentum + in-plane APIC + in-plane force parts
     apic_xy = (mC[..., :, 0, None] * dpx[..., None, :]
-               + mC[..., :, 1, None] * dpy[..., None, :]) * dx  # (G2,K,3,S)
+               + mC[..., :, 1, None] * dpy[..., None, :]) * dx
     mom_alpha = (mv[..., :, None] + apic_xy) * wxy[..., None, :]
-    # force: vertex -> w * vf (pure Z0); stress -> -(sigma @ dweight):
-    # the sigma_x / sigma_y parts multiply Z0, the sigma_z part Z2.
     f_vert = (pisv[..., None, None] * pvf[..., :, None]
               * wxy[..., None, :])
     not_v = (1.0 - pisv)
     f_alpha = f_vert - (pstress[..., :, 0, None] * dxwy[..., None, :]
                         + pstress[..., :, 1, None] * wxdy[..., None, :]) \
         * not_v[..., None, None]
-    alpha_mom = mom_alpha + f_alpha                      # (G2,K,3,S)
-    alpha_mass = pmass[..., None] * wxy                  # (G2,K,S)
+    alpha_mom = mom_alpha + f_alpha                      # (C,K,3,S)
+    alpha_mass = pmass[..., None] * wxy                  # (C,K,S)
     alpha = jnp.concatenate([alpha_mom,
-                             alpha_mass[..., None, :]], axis=-2)  # (..,4,S)
+                             alpha_mass[..., None, :]], axis=-2)
 
-    # beta (Z1): APIC z-term  m*C_cz * dpos_z_unitless * dx * w
     beta_mom = mC[..., :, 2, None] * dx * wxy[..., None, :]
     beta = jnp.concatenate([beta_mom,
                             jnp.zeros_like(alpha_mass)[..., None, :]],
                            axis=-2)
 
-    # gamma (Z2): stress z-derivative term  -sigma_cz * wx*wy * dwz
     gamma_mom = -pstress[..., :, 2, None] * wxy[..., None, :] \
         * not_v[..., None, None]
     gamma = jnp.concatenate([gamma_mom,
                              jnp.zeros_like(alpha_mass)[..., None, :]],
                             axis=-2)
 
-    # selection masking (stress/force already include sel via mass? no:
-    # forces must vanish for masked particles too)
-    m3 = (psel)[..., None, None]
-    alpha = alpha * m3
-    beta = beta * m3
-    gamma = gamma * m3
+    m3 = psel[..., None, None]
+    coeff = jnp.stack([alpha * m3, beta * m3, gamma * m3], axis=2)
+    C_cap = pid.shape[0]
+    coeff = coeff.reshape(C_cap, K * 3, 4 * S)
+    zmat = zb.reshape(C_cap, K * 3, G)
 
-    # coeff (G2, K, 3basis, 4, S) -> (G2, K*3, 4*S)
-    coeff = jnp.stack([alpha, beta, gamma], axis=2)
-    G2 = G * G
-    coeff = coeff.transpose(0, 1, 2, 3, 4).reshape(G2, K * 3, 4 * S)
-    zmat = zb.reshape(G2, K * 3, G)
+    out = jnp.einsum("cmz,cmn->czn", zmat, coeff)        # (C, Gz, 36)
+    out = out.reshape(C_cap, G, 4, S)
 
-    out = jnp.einsum("gmz,gmn->gzn", zmat, coeff)        # (G2, Gz, 36)
-    out = out.reshape(G, G, G, 4, S)
-
-    # 9 static shifted adds: shift (i, j) targets (x + i, y + j) from
-    # base-relative tap, with base offset 0..2 -> pad and slice
-    acc = jnp.zeros((G + 2, G + 2, G, 4), dtype)
-    for s, (i, j) in enumerate(_SHIFTS):
-        acc = acc.at[i:i + G, j:j + G].add(out[..., s])
-    full = acc[:G, :G]          # taps beyond G-1 dropped (mode-drop parity)
-
-    grid_v_in = full[..., :3].reshape(-1, 3)
-    grid_m = full[..., 3].reshape(-1)
-    return grid_v_in, grid_m
+    grid = _scatter_columns(out, bins, G, 4)             # (G*G, Gz, 4)
+    grid = grid.reshape(G * G * G, 4)
+    return grid[:, :3], grid[:, 3]
 
 
 @partial(jax.jit, static_argnums=(0, 3))
 def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
                 bins: ColumnBins = None):
-    """Column-packed G2P gather; exact replacement for the gather stage of
-    stepping.g2p.  Returns per-particle (new_v (P,3), new_C (P,3,3),
-    grad_v (P,3,3)) in ORIGINAL particle order."""
+    """Column-packed G2P gather; returns per-particle (new_v (P,3),
+    new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order."""
     G = cfg.n_grid
     P = cfg.n_particles
     dtype = state.x.dtype
     if bins is None:
         bins = build_bins(state.x, cfg, K)
     pid, valid = bins.pid, bins.valid
+    C_cap = pid.shape[0]
 
     px = _packed_gather(state.x, pid)
     base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
-    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (G2,K,3,Gz)
+    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (C,K,3,Gz)
     wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2], cfg)
 
-    grid = grid_v_out.reshape(G, G, G, 3)
-    pad = jnp.pad(grid, ((0, 2), (0, 2), (0, 0), (0, 0)))
-    G2 = G * G
-    zmat = zb.reshape(G2, K * 3, G)
+    grid = grid_v_out.reshape(G * G, G, 3)
+    grid_pad = jnp.concatenate(
+        [grid, jnp.zeros((1, G, 3), dtype)], 0)          # sentinel row
+    tcols = _shift_columns(bins, G)                      # (C, 9)
+    gcols = grid_pad[tcols]                              # (C, 9, Gz, 3)
 
-    v_acc = jnp.zeros(px.shape, dtype)                   # (G2,K,3)
-    c_acc = jnp.zeros(px.shape[:2] + (3, 3), dtype)
-    gv_acc = jnp.zeros(px.shape[:2] + (3, 3), dtype)
+    zmat = zb.reshape(C_cap, K * 3, G)
+    g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, G, 27)
+    acc = jnp.einsum("cmz,czn->cmn", zmat, g_all)
+    acc = acc.reshape(C_cap, K, 3, 9, 3)                 # (C,K,basis,S,3)
+
+    v0 = acc[..., 0, :, :]   # (C,K,S,3)
+    v1 = acc[..., 1, :, :]
+    v2 = acc[..., 2, :, :]
+
     inv_dx = cfg.inv_dx
+    wxy_e = wxy[..., :, None]
+    new_v = jnp.sum(wxy_e * v0, axis=2)
+    dxy = jnp.stack([dpx, dpy], -1)                      # (C,K,S,2)
+    c_xy = jnp.einsum("cksa,cksb->ckab", wxy_e * v0, dxy)
+    c_z = jnp.sum(wxy_e * v1, axis=2)
+    new_c = 4.0 * inv_dx * jnp.concatenate(
+        [c_xy, c_z[..., :, None]], axis=-1)
+    gx = jnp.sum(dxwy[..., :, None] * v0, axis=2)
+    gy = jnp.sum(wxdy[..., :, None] * v0, axis=2)
+    gz = jnp.sum(wxy_e * v2, axis=2)
+    grad_v = jnp.stack([gx, gy, gz], axis=-1)
 
-    for s, (i, j) in enumerate(_SHIFTS):
-        g_s = pad[i:i + G, j:j + G].reshape(G2, G, 3)    # (G2, Gz, 3)
-        # (G2, K*3, 3) = zmat @ g_s
-        acc = jnp.einsum("gmz,gzc->gmc", zmat, g_s)
-        acc = acc.reshape(G2, -1, 3, 3)                   # (G2,K,basis,3)
-        v0 = acc[..., 0, :]   # sum_z w(z) * g
-        v1 = acc[..., 1, :]   # sum_z dposz*w(z) * g
-        v2 = acc[..., 2, :]   # sum_z dw(z) * g
-
-        wxy_s = wxy[..., s, None]
-        v_acc = v_acc + wxy_s * v0
-        # C += 4*inv_dx * w * outer(g, dpos);  dpos = (dpx, dpy, dposz)
-        dxy = jnp.stack([dpx[..., s], dpy[..., s]], -1)  # (G2,K,2)
-        c_xy = wxy_s[..., None] * v0[..., :, None] * dxy[..., None, :]
-        c_z = wxy_s[..., None] * v1[..., :, None]
-        c_acc = c_acc + 4.0 * inv_dx * jnp.concatenate([c_xy, c_z], -1)
-
-        # grad_v += outer(g, dweight): dweight = (dwx*wy*wz, wx*dwy*wz,
-        #                                         wx*wy*dwz)
-        gx = dxwy[..., s, None] * v0
-        gy = wxdy[..., s, None] * v0
-        gz = wxy_s * v2
-        gv_acc = gv_acc + jnp.stack([gx, gy, gz], -1)
-
-    # unpack to original particle order
-    col = bins.col_of_p
+    cidx = bins.cidx_of_p
     rank = jnp.clip(bins.rank_of_p, 0, K - 1)
     in_table = (bins.rank_of_p < K)
 
     def unpack(packed):
-        vals = packed[col, rank]
+        vals = packed[cidx, rank]
         return jnp.where(in_table.reshape((P,) + (1,) * (vals.ndim - 1)),
                          vals, 0.0)
 
-    return unpack(v_acc), unpack(c_acc), unpack(gv_acc)
+    return unpack(new_v), unpack(new_c), unpack(grad_v)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
 def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
                   bounds_check: bool = True):
     """Generic w-weighted splat: scatter-free replacement for
-    core.stepping.rasterize_to_grid (used by the mesh collider and the
-    particle mover).  Returns (grid_vals (G^3, C), grid_w (G^3,)).
-
-    Applies the reference's bounds check base in [0, G-3)
-    (mpm_solver.py:692,858)."""
+    core.stepping.rasterize_to_grid (mesh collider / particle mover).
+    Returns (grid_vals (G^3, C), grid_w (G^3,))."""
     G = cfg.n_grid
-    C = values.shape[-1]
+    Cch = values.shape[-1]
     bins = build_bins(points, cfg, K)
     pid, valid = bins.pid, bins.valid
+    C_cap = pid.shape[0]
 
     pp = _packed_gather(points, pid)
     pvals = _packed_gather(values, pid)
@@ -335,25 +338,21 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
         inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
         ok = ok * inb.astype(pp.dtype)
 
-    zb = _z_bases(pp[..., 2], base[..., 2], cfg, G)   # (G2,K,3,Gz)
-    z0 = zb[..., 0, :]                                # (G2,K,Gz)
+    zb = _z_bases(pp[..., 2], base[..., 2], cfg, G)
+    z0 = zb[..., 0, :]
     wxy, _, _, _, _ = _xy_weights(pp[..., :2], base[..., :2], cfg)
 
-    # coeff (G2, K, S, C+1): per shift, value channels + unit weight
     vals1 = jnp.concatenate(
         [pvals, jnp.ones(pvals.shape[:-1] + (1,), pvals.dtype)], -1)
     coeff = (wxy * ok[..., None])[..., :, None] * vals1[..., None, :]
-    G2 = G * G
     S = 9
-    coeff = coeff.reshape(G2, -1, S * (C + 1))
-    out = jnp.einsum("gmz,gmn->gzn", z0.reshape(G2, -1, G), coeff)
-    out = out.reshape(G, G, G, S, C + 1)
+    coeff = coeff.transpose(0, 1, 3, 2).reshape(C_cap, K, (Cch + 1) * S)
+    out = jnp.einsum("ckz,ckn->czn", z0, coeff)
+    out = out.reshape(C_cap, G, Cch + 1, S)
 
-    acc = jnp.zeros((G + 2, G + 2, G, C + 1), points.dtype)
-    for s, (i, j) in enumerate(_SHIFTS):
-        acc = acc.at[i:i + G, j:j + G].add(out[..., s, :])
-    full = acc[:G, :G]
-    return full[..., :C].reshape(-1, C), full[..., C].reshape(-1)
+    grid = _scatter_columns(out, bins, G, Cch + 1)
+    grid = grid.reshape(G * G * G, Cch + 1)
+    return grid[:, :Cch], grid[:, Cch]
 
 
 def build_vertex_incidence(faces, n_vertices: int):

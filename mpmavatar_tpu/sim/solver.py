@@ -46,7 +46,8 @@ class MPMSolver:
     """
 
     def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
-                 mesh_column_k: int = 0, faces=None):
+                 mesh_column_k: int = 0, faces=None,
+                 column_c_cap=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -55,6 +56,7 @@ class MPMSolver:
         self.colliders = ColliderSet()
         self.column_k = column_k
         self.mesh_column_k = mesh_column_k
+        self.column_c_cap = column_c_cap
         self.vf_incidence = None
         if faces is not None and cfg.n_vertices > 0 and column_k > 0:
             from ..ops.column_transfer import build_vertex_incidence
@@ -182,6 +184,7 @@ class MPMSolver:
                               jnp.float32(dt), jnp.float32(time),
                               column_k=self.column_k,
                               mesh_column_k=self.mesh_column_k,
+                              column_c_cap=self.column_c_cap,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -211,6 +214,7 @@ class MPMSolver:
                                 jnp.float32(dt), t,
                                 column_k=self.column_k,
                                 mesh_column_k=self.mesh_column_k,
+                                column_c_cap=self.column_c_cap,
                                 vf_incidence=self.vf_incidence, **kw)
             return (st, t + dt), None
 
