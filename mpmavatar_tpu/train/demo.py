@@ -155,3 +155,51 @@ def sand_release_schedule(solver, state, cfg, normal=(0.0, 0.0, 1.0),
     solver.release_particles_sequentially(
         state, normal, start_position, end_position, start_time, end_time,
         num_layers=num_layers)
+
+
+def render_demo_frame(avatar, params, verts, ao_map, cam, camera_idx,
+                      sand_xyz=None, chair=None, chair_shs=None,
+                      active_sh_degree: int = 3, tile_capacity: int = 512):
+    """One demo render frame with extra gaussians (run_demo.py:586-610):
+    avatar (shadowed SH colors) + chair (SH toward the moving camera) +
+    sand (position-colored), white background, color-calibrated."""
+    import jax.numpy as jnp
+    from ..render import (camera_arrays, convert_sh_colors, render)
+    from ..render import gaussians as G
+    from ..render.geometry import covariance_from_scaling_rotation
+    from .appearance import shaded_colors
+
+    frames = avatar.frames_for_verts(verts)
+    ca = camera_arrays(cam)
+    xyz = G.get_xyz(params.splats, frames)
+    colors, _ = shaded_colors(avatar, params, frames, ao_map,
+                              ca.cam_center, xyz, active_sh_degree)
+
+    extra = None
+    if chair is not None:
+        chair_color = convert_sh_colors(chair_shs, chair["xyz"],
+                                        ca.cam_center, active_sh_degree)
+        chair_cov = covariance_from_scaling_rotation(
+            chair["scale"], 1.0, chair["rotation"])
+        ex_xyz, ex_col = chair["xyz"], chair_color
+        ex_op, ex_cov = chair["opacity"].reshape(-1), chair_cov
+        if sand_xyz is not None:
+            _, _, sand_color = get_extra_attr(chair, chair_color, sand_xyz)
+            n = sand_xyz.shape[0]
+            sand_scale = 0.3 * 0.2 / 50 * jnp.ones((n, 3), jnp.float32)
+            sand_rot = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
+            sand_cov = covariance_from_scaling_rotation(sand_scale, 1.0,
+                                                        sand_rot)
+            ex_xyz = jnp.concatenate([sand_xyz, ex_xyz], 0)
+            ex_col = jnp.concatenate([sand_color, ex_col], 0)
+            ex_op = jnp.concatenate([jnp.ones((n,)), ex_op], 0)
+            ex_cov = jnp.concatenate([sand_cov, ex_cov], 0)
+        extra = (ex_xyz, ex_col, ex_op, ex_cov)
+
+    out = render(cam, params.splats, frames, bg_color=jnp.ones(3),
+                 active_sh_degree=active_sh_degree, override_color=colors,
+                 extra=extra, tile_capacity=tile_capacity)
+    rendering = out["render"] * jnp.exp(params.cam_m[camera_idx])[:, None, None] \
+        + params.cam_c[camera_idx][:, None, None]
+    rendering = rendering * out["mask"] + (1.0 - out["mask"])
+    return jnp.clip(rendering, 0.0, 1.0), out
