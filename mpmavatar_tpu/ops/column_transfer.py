@@ -75,13 +75,17 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     pid = jnp.where(valid, perm[jnp.clip(idx, 0, P - 1)], P)
 
     cidx_of_p = jnp.searchsorted(active_col, col)
-    col_dropped = cidx_of_p >= c_cap
+    cidx_clipped = jnp.clip(cidx_of_p, 0, c_cap - 1)
+    # a column beyond the cap maps to some other active column via
+    # searchsorted — mark those particles as dropped (rank sentinel)
+    col_ok = active_col[cidx_clipped] == col
     first_of_col = jnp.searchsorted(sorted_col, sorted_col)
     rank_sorted = jnp.arange(P) - first_of_col
     rank_of_p = jnp.zeros((P,), jnp.int32).at[perm].set(rank_sorted)
-    overflow = jnp.sum(((rank_of_p >= K) | col_dropped).astype(jnp.int32))
+    rank_of_p = jnp.where(col_ok, rank_of_p, K + 1)
+    overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
     return ColumnBins(active_col=active_col, pid=pid, valid=valid,
-                      cidx_of_p=jnp.clip(cidx_of_p, 0, c_cap - 1),
+                      cidx_of_p=cidx_clipped,
                       rank_of_p=rank_of_p, overflow=overflow)
 
 
