@@ -271,3 +271,36 @@ def reset_opacity(g: GaussianParams, ceiling: float = 0.01) -> GaussianParams:
     """gaussian_model.py:284-287."""
     new_op = jnp.minimum(g.opacity, inverse_sigmoid(jnp.asarray(ceiling)))
     return dataclasses.replace(g, opacity=new_op)
+
+
+def init_from_pcd(points, colors, sh_degree: int,
+                  capacity: Optional[int] = None) -> GaussianParams:
+    """Unbound 3DGS init from a point cloud (create_from_pcd,
+    gaussian_model.py:172-210): scales from the mean squared distance to
+    the 3 nearest neighbours (the CUDA distCUDA2, replaced by the native
+    KD-tree)."""
+    n = len(points)
+    cap = capacity or n
+    n_rest = (sh_degree + 1) ** 2 - 1
+    try:
+        from ..native import knn
+        dist2 = np.maximum(knn.mean_dist2_3nn(np.asarray(points)), 1e-7)
+    except Exception:
+        d2 = np.sum((np.asarray(points)[:, None]
+                     - np.asarray(points)[None]) ** 2, -1)
+        np.fill_diagonal(d2, np.inf)
+        dist2 = np.maximum(np.sort(d2, 1)[:, :3].mean(1), 1e-7)
+    scales = np.log(np.sqrt(dist2))[:, None].repeat(3, 1)
+    return GaussianParams(
+        xyz=jnp.zeros((cap, 3), jnp.float32).at[:n].set(
+            jnp.asarray(points, jnp.float32)),
+        features_dc=jnp.zeros((cap, 1, 3), jnp.float32).at[:n, 0].set(
+            rgb2sh(jnp.asarray(colors, jnp.float32))),
+        features_rest=jnp.zeros((cap, n_rest, 3), jnp.float32),
+        scaling=jnp.zeros((cap, 3), jnp.float32).at[:n].set(
+            jnp.asarray(scales, jnp.float32)),
+        rotation=jnp.zeros((cap, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=jnp.full((cap, 1), float(np.log(0.1 / 0.9)), jnp.float32),
+        binding=jnp.zeros((cap,), jnp.int32),
+        alive=jnp.arange(cap) < n,
+    )

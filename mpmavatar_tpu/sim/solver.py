@@ -310,3 +310,43 @@ def reset_density(state: MPMState, density, update_mass=True) -> MPMState:
                                state.density.shape)
     mass = density * state.vol if update_mass else state.mass
     return dataclasses.replace(state, density=density, mass=mass)
+
+
+def export_particle_cov(state: MPMState, cfg: MPMStaticConfig):
+    """Render-time covariance export: cov = F_trial @ cov0 @ F_trial^T
+    for the non-vertex particles (compute_cov_from_F,
+    /root/reference/warp_mpm/mpm_utils.py:1108-1132;
+    export_particle_cov_to_torch, mpm_solver.py:543-561)."""
+    nnv = cfg.n_no_vertices
+    c = state.cov[:nnv]
+    cov0 = jnp.stack([
+        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+    ], -2)
+    E = cfg.n_elements
+    # elements have no F; use identity (reference leaves their cov as-is)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=c.dtype),
+                           (E, 3, 3))
+    f = jnp.concatenate([eye, state.F_trial], 0)[:nnv]
+    cov = f @ cov0 @ jnp.swapaxes(f, -1, -2)
+    return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+                      cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]], -1)
+
+
+def update_cov(state: MPMState, cfg: MPMStaticConfig, grad_v, dt):
+    """Advect the packed covariance with the velocity gradient
+    (update_cov, mpm_utils.py:432-452); grad_v is the (P, 3, 3) field
+    from gather_quantities.  Returns the new packed (E+T, 6) array."""
+    nnv = cfg.n_no_vertices
+    c = state.cov
+    cov_n = jnp.stack([
+        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+    ], -2)
+    gv = grad_v[:nnv]
+    cov_np1 = cov_n + dt * (gv @ cov_n + cov_n @ jnp.swapaxes(gv, -1, -2))
+    return jnp.stack([cov_np1[:, 0, 0], cov_np1[:, 0, 1], cov_np1[:, 0, 2],
+                      cov_np1[:, 1, 1], cov_np1[:, 1, 2],
+                      cov_np1[:, 2, 2]], -1)
