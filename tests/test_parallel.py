@@ -87,3 +87,48 @@ def test_sharded_matches_single_device():
                            jnp.float32(k * 1e-4))
     np.testing.assert_allclose(np.asarray(new_st.xv)[:cfg.n_vertices],
                                np.asarray(s.x[cfg.n_elements:]), atol=3e-5)
+
+
+def test_dp_appearance_step():
+    """Data-parallel appearance step over 8 virtual devices."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import make_fake_tracking_assets
+    from test_rasterizer import simple_camera
+    import tempfile, pathlib
+    from mpmavatar_tpu.render.avatar_model import load_mesh_avatar
+    from mpmavatar_tpu.train.appearance import make_optimizer
+    from mpmavatar_tpu.data.config import OptimizationParams
+    from mpmavatar_tpu.parallel.appearance_dp import (
+        make_dp_appearance_step, stack_camera_arrays, shard_batch)
+
+    with tempfile.TemporaryDirectory() as d:
+        tmp = pathlib.Path(d)
+        verts, faces = make_fake_tracking_assets(tmp)
+        avatar, params = load_mesh_avatar(str(tmp), str(tmp / "uv.obj"),
+                                          sh_degree=1, capacity_factor=1.0)
+        avatar.verts_orig = avatar.verts_orig - np.array([1.0, 1.0, 1.0])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    opt = OptimizationParams()
+    tx = make_optimizer(opt, 1.0)
+    opt_state = tx.init(params)
+    step = make_dp_appearance_step(avatar, tx, mesh, 0, False, 64, 64,
+                                   tile_capacity=64)
+
+    B = 8
+    cams = [simple_camera(w=64, h=64, f=40.0, cam_z=-2.0)] * B
+    cam_b = stack_camera_arrays(cams)
+    verts_b = jnp.tile(jnp.asarray(avatar.verts_orig[0])[None], (B, 1, 1))
+    ao_b = jnp.tile(jnp.asarray(avatar.ao_maps[0])[None], (B, 1, 1, 1))
+    rgb_b = jnp.full((B, 3, 64, 64), 0.5)
+    msk_b = jnp.ones((B, 1, 64, 64))
+    cidx = jnp.zeros((B,), jnp.int32)
+
+    batch = shard_batch(mesh, (cam_b, cidx, verts_b, ao_b, rgb_b, msk_b))
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, *batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
