@@ -560,6 +560,7 @@ def p2g2p(cfg: MPMStaticConfig,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         bins = _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap)
+        geom = _ct.pack_geometry(cfg, state.x, bins)
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C
@@ -568,9 +569,10 @@ def p2g2p(cfg: MPMStaticConfig,
         nnv = cfg.n_no_vertices
         grid_v_in, grid_m = _ct.p2g_columns(
             cfg, state, dt * sel[:nnv, None, None] * stress,
-            dt * vertex_force, column_k, bins=bins, c_eff=c_eff)
+            dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
+            geom=geom)
     else:
-        bins = None
+        bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
     grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
 
@@ -592,7 +594,7 @@ def p2g2p(cfg: MPMStaticConfig,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
-                                   bins=bins)
+                                   bins=bins, geom=geom)
     else:
         gathered = None
     x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,

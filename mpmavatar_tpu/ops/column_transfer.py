@@ -80,8 +80,9 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     # searchsorted — mark those particles as dropped (rank sentinel)
     col_ok = active_col[cidx_clipped] == col
     first_of_col = jnp.searchsorted(sorted_col, sorted_col)
-    rank_sorted = jnp.arange(P) - first_of_col
-    rank_of_p = jnp.zeros((P,), jnp.int32).at[perm].set(rank_sorted)
+    rank_sorted = (jnp.arange(P) - first_of_col).astype(jnp.int32)
+    inv_perm = jnp.argsort(perm)        # scatter-free inverse permutation
+    rank_of_p = rank_sorted[inv_perm]
     rank_of_p = jnp.where(col_ok, rank_of_p, K + 1)
     overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
     return ColumnBins(active_col=active_col, pid=pid, valid=valid,
@@ -124,6 +125,28 @@ def _z_bases(px_z, base_z, cfg, Gz):
 
 
 _SHIFTS = [(i, j) for i in range(3) for j in range(3)]
+
+
+class PackedGeometry(NamedTuple):
+    """Per-slot stencil geometry shared by p2g and g2p in one substep."""
+    px: jnp.ndarray     # (C, K, 3)
+    base: jnp.ndarray   # (C, K, 3) int32
+    zb: jnp.ndarray     # (C, K, 3, Gz)
+    wxy: jnp.ndarray    # (C, K, 9)
+    dxwy: jnp.ndarray
+    wxdy: jnp.ndarray
+    dpx: jnp.ndarray
+    dpy: jnp.ndarray
+
+
+def pack_geometry(cfg: MPMStaticConfig, x, bins: ColumnBins
+                  ) -> "PackedGeometry":
+    px = _packed_gather(x, bins.pid)
+    base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
+    zb = _z_bases(px[..., 2], base[..., 2], cfg, cfg.n_grid)
+    wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2],
+                                            cfg)
+    return PackedGeometry(px, base, zb, wxy, dxwy, wxdy, dpx, dpy)
 
 
 def _xy_weights(px_xy, base_xy, cfg):
@@ -178,7 +201,8 @@ def _scatter_columns(out, bins, G, n_ch):
 
 @partial(jax.jit, static_argnums=(0, 4))
 def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
-                K: int, bins: ColumnBins = None, c_eff=None):
+                K: int, bins: ColumnBins = None, c_eff=None,
+                geom: PackedGeometry = None):
     """Column-packed P2G; exact replacement for stepping.p2g.
 
     ``stress`` and ``vertex_force`` must be pre-scaled by dt*selection;
@@ -207,7 +231,8 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     sel = (state.selection == 0).astype(dtype)
     mass = state.mass * sel
 
-    px = _packed_gather(state.x, pid)              # (C, K, 3)
+    if geom is None:
+        geom = pack_geometry(cfg, state.x, bins)
     pv = _packed_gather(state.v, pid)
     pC = _packed_gather(state.C if c_eff is None else c_eff, pid)
     pmass = _packed_gather(mass, pid) * valid
@@ -216,9 +241,9 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     pvf = _packed_gather(vforce, pid)
     pisv = _packed_gather(is_vertex, pid)
 
-    base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
-    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (C,K,3,Gz)
-    wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2], cfg)
+    zb = geom.zb
+    wxy, dxwy, wxdy, dpx, dpy = (geom.wxy, geom.dxwy, geom.wxdy,
+                                 geom.dpx, geom.dpy)
 
     mC = pmass[..., None, None] * pC                     # (C,K,3,3)
     mv = pmass[..., None] * pv                           # (C,K,3)
@@ -266,7 +291,7 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
 
 @partial(jax.jit, static_argnums=(0, 3))
 def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
-                bins: ColumnBins = None):
+                bins: ColumnBins = None, geom: PackedGeometry = None):
     """Column-packed G2P gather; returns per-particle (new_v (P,3),
     new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order."""
     G = cfg.n_grid
@@ -277,10 +302,11 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
     pid, valid = bins.pid, bins.valid
     C_cap = pid.shape[0]
 
-    px = _packed_gather(state.x, pid)
-    base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
-    zb = _z_bases(px[..., 2], base[..., 2], cfg, G)      # (C,K,3,Gz)
-    wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2], cfg)
+    if geom is None:
+        geom = pack_geometry(cfg, state.x, bins)
+    zb = geom.zb
+    wxy, dxwy, wxdy, dpx, dpy = (geom.wxy, geom.dxwy, geom.wxdy,
+                                 geom.dpx, geom.dpy)
 
     grid = grid_v_out.reshape(G * G, G, 3)
     grid_pad = jnp.concatenate(
