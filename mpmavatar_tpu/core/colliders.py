@@ -123,6 +123,28 @@ _register(ParticleVelocityModifier,
 
 
 @dataclasses.dataclass(frozen=True)
+class RotationVelocityModifier:
+    """Cylinder-region rotation Dirichlet velocity
+    (mpm_solver.py:1156-1257): particles inside the cylinder rotate about
+    ``normal`` with optional translation along it."""
+    mask: jnp.ndarray             # (P,) int
+    point: jnp.ndarray            # (3,)
+    normal: jnp.ndarray           # (3,) unit
+    horizontal_axis_1: jnp.ndarray  # (3,)
+    horizontal_axis_2: jnp.ndarray  # (3,)
+    rotation_scale: jnp.ndarray   # scalar
+    translation_scale: jnp.ndarray  # scalar
+    start_time: jnp.ndarray
+    end_time: jnp.ndarray
+
+
+_register(RotationVelocityModifier,
+          ("mask", "point", "normal", "horizontal_axis_1",
+           "horizontal_axis_2", "rotation_scale", "translation_scale",
+           "start_time", "end_time"), ())
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshCollider:
     """Body-mesh collision config (mpm_solver.py:805-919).
 

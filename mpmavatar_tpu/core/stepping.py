@@ -548,9 +548,29 @@ def p2g2p(cfg: MPMStaticConfig,
             delta = jnp.broadcast_to(imp.force[None, :] * dt, v.shape)
         v = jnp.where((active & (imp.mask >= 1))[:, None], v + delta, v)
     for mod in colliders.velocity_modifiers:
+        from .colliders import RotationVelocityModifier
         active = (time >= mod.start_time) & (time < mod.end_time)
-        v = jnp.where((active & (mod.mask == 1))[:, None],
-                      jnp.broadcast_to(mod.velocity, v.shape), v)
+        if isinstance(mod, RotationVelocityModifier):
+            # cylinder rotation field (mpm_solver.py:1213-1257)
+            offset = state.x - mod.point[None, :]
+            axial = jnp.sum(offset * mod.normal[None, :], -1)
+            radial = offset - axial[:, None] * mod.normal[None, :]
+            hd = jnp.sqrt(jnp.sum(radial * radial, -1) + 1e-20)
+            cosine = jnp.sum(offset * mod.horizontal_axis_1[None, :],
+                             -1) / hd
+            theta = jnp.arccos(jnp.clip(cosine, -1.0, 1.0))
+            theta = jnp.where(
+                jnp.sum(offset * mod.horizontal_axis_2[None, :], -1) > 0,
+                theta, -theta)
+            v_rot = (-hd * jnp.sin(theta) * mod.rotation_scale)[:, None] \
+                * mod.horizontal_axis_1[None, :] \
+                + (hd * jnp.cos(theta) * mod.rotation_scale)[:, None] \
+                * mod.horizontal_axis_2[None, :] \
+                + mod.translation_scale * mod.normal[None, :]
+            v = jnp.where((active & (mod.mask == 1))[:, None], v_rot, v)
+        else:
+            v = jnp.where((active & (mod.mask == 1))[:, None],
+                          jnp.broadcast_to(mod.velocity, v.shape), v)
     state = _dc.replace(state, v=v)
 
     new_d, new_f, new_ys, stress, vertex_force = compute_stress(

@@ -152,6 +152,44 @@ class MPMSolver:
         self.enforce_particle_velocity_by_mask(inside.astype(np.int32),
                                                velocity, start_time, end_time)
 
+    def enforce_particle_velocity_rotation(self, state, point, normal,
+                                           half_height_and_radius,
+                                           rotation_scale,
+                                           translation_scale,
+                                           start_time=0.0, end_time=999.0):
+        """mpm_solver.py:1156-1257: cylinder-region rotation field."""
+        from ..core.colliders import RotationVelocityModifier
+        normal = np.asarray(normal, np.float64)
+        normal = normal / np.linalg.norm(normal)
+        h1 = np.array([1.0, 1.0, 1.0])
+        if abs(h1 @ normal) < 0.01:
+            h1 = np.array([0.72, 0.37, -0.67])
+        h1 = h1 - (h1 @ normal) * normal
+        h1 = h1 / np.linalg.norm(h1)
+        h2 = np.cross(h1, normal)
+
+        x = np.asarray(state.x)
+        offset = x - np.asarray(point)[None]
+        axial = offset @ normal
+        radial = np.linalg.norm(offset - axial[:, None] * normal[None],
+                                axis=-1)
+        hh, rr = half_height_and_radius
+        mask = (np.abs(axial) < hh) & (radial < rr)
+
+        self.colliders = dataclasses.replace(
+            self.colliders,
+            velocity_modifiers=self.colliders.velocity_modifiers + (
+                RotationVelocityModifier(
+                    mask=jnp.asarray(mask.astype(np.int32)),
+                    point=jnp.asarray(point, jnp.float32),
+                    normal=jnp.asarray(normal, jnp.float32),
+                    horizontal_axis_1=jnp.asarray(h1, jnp.float32),
+                    horizontal_axis_2=jnp.asarray(h2, jnp.float32),
+                    rotation_scale=jnp.float32(rotation_scale),
+                    translation_scale=jnp.float32(translation_scale),
+                    start_time=jnp.float32(start_time),
+                    end_time=jnp.float32(end_time)),))
+
     def release_particles_sequentially(self, state, normal, start_position,
                                        end_position, start_time, end_time,
                                        num_layers=50):
