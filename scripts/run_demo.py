@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--num_frames", type=int, default=60)
     parser.add_argument("--grid_size", type=int, default=250)
     parser.add_argument("--substep", type=int, default=400)
+    parser.add_argument("--avatar_dir", default=None,
+                        help="tracking dir (params_*.npz) to render with")
+    parser.add_argument("--avatar_ckpt", default=None,
+                        help="appearance checkpoint dir")
+    parser.add_argument("--uv_path", default=None)
+    parser.add_argument("--skip_video", action="store_true")
     args = parser.parse_args()
 
     cloth_v, cloth_f = read_obj(args.cloth_obj)
@@ -68,6 +74,67 @@ def main():
                   sand_w)
         print(f"frame {i}: cloth y [{cloth[:, 1].min():.3f}, "
               f"{cloth[:, 1].max():.3f}]", flush=True)
+
+    if args.avatar_dir and args.uv_path:
+        render_orbit(args, cloth_f)
+
+
+def render_orbit(args, cloth_f):
+    """Orbit-render the simulated sequence with the trained avatar +
+    extra gaussians and bake AO per frame (run_demo.py:560-613)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+    from mpmavatar_tpu.render.avatar_model import (load_mesh_avatar,
+                                                   load_avatar_checkpoint)
+    from mpmavatar_tpu.render.cameras import Camera
+    from mpmavatar_tpu.render.ao import bake_ao, rasterize_uv_chart
+    from mpmavatar_tpu.render.avatar_model import load_uv_coords
+    from mpmavatar_tpu.train.demo import (get_spherical_cam,
+                                          render_demo_frame)
+    from mpmavatar_tpu.utils.io import read_obj
+    from mpmavatar_tpu.utils.misc import frames_to_video
+
+    avatar, params = load_mesh_avatar(args.avatar_dir, args.uv_path)
+    if args.avatar_ckpt:
+        params = load_avatar_checkpoint(args.avatar_ckpt, params)
+
+    # UV chart for on-TPU AO baking
+    vt, fuv = [], []
+    with open(args.uv_path) as f:
+        for line in f:
+            if line[:2] == "vt":
+                vt.append([float(x) for x in line[2:].split()])
+            elif line[:2] == "f ":
+                fuv.append([int(p.split("/")[1]) - 1
+                            for p in line[2:].split()])
+    chart = rasterize_uv_chart(np.asarray(vt, np.float32),
+                               np.asarray(fuv), resolution=256)
+
+    k = np.array([[1000.0, 0, 512], [0, 1000.0, 512], [0, 0, 1]])
+    ref_cam = Camera.from_kw2c("ref", 1024, 1024, k, np.eye(4))
+    cams = get_spherical_cam(ref_cam, args.num_frames)
+
+    img_dir = os.path.join(args.out_dir, "video", "frames")
+    os.makedirs(img_dir, exist_ok=True)
+    for i in range(args.num_frames):
+        verts, _ = read_obj(
+            os.path.join(args.out_dir, "uvmesh", f"{i:03d}.obj"))
+        sand, _ = read_obj(
+            os.path.join(args.out_dir, "sand", f"{i:03d}.obj"))
+        ao = bake_ao(jnp.asarray(verts), jnp.asarray(avatar.faces),
+                     jnp.asarray(chart.face_idx), jnp.asarray(chart.bary),
+                     jnp.asarray(chart.texel_ij))
+        img, _ = render_demo_frame(
+            avatar, params, jnp.asarray(verts), ao, cams[i], 0,
+            sand_xyz=jnp.asarray(sand) if i > args.num_frames // 2
+            else None)
+        arr = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+               * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i:04d}.png"))
+    if not args.skip_video:
+        frames_to_video(os.path.join(img_dir, "%04d.png"),
+                        os.path.join(args.out_dir, "video", "video.mp4"))
 
 
 if __name__ == "__main__":
