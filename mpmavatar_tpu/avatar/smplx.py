@@ -57,9 +57,12 @@ def load_smplx_npz(path: str, num_betas: int = 300, num_expr: int = 100,
                              .reshape(len(data["v_template"]) * 3, -1).T),
         j_regressor=jnp.asarray(data["J_regressor"], jnp.float32),
         lbs_weights=jnp.asarray(data["weights"], jnp.float32),
-        parents=tuple(int(p) for p in np.asarray(data["kintree_table"])[0]
-                      ) if "kintree_table" in data else tuple(
-            int(p) for p in np.asarray(data["parents"])),
+        # kintree_table[0,0] is uint32(-1) for the root
+        parents=tuple(
+            -1 if p >= 2 ** 31 else int(p)
+            for p in (np.asarray(data["kintree_table"])[0]
+                      if "kintree_table" in data
+                      else np.asarray(data["parents"])).astype(np.int64)),
         faces=jnp.asarray(np.asarray(data["f"], np.int64), jnp.int32),
         hands_componentsl=jnp.asarray(data["hands_componentsl"][:num_pca_comps],
                                       jnp.float32) if use_pca else None,
