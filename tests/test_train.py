@@ -157,3 +157,40 @@ def test_demo_sim_mixed_sand_cloth():
                                  + cfg.n_traditional, 1]
     sim_sand_y0 = np.asarray(tf.wld2sim(jnp.asarray(sand)))[:, 1]
     assert sand_y.mean() < sim_sand_y0.mean()
+
+
+def test_material_trainer_simulate_rollout():
+    from mpmavatar_tpu.train.material import (MaterialTrainer,
+                                              MaterialTrainerConfig)
+    verts, faces = make_cloth(nx=4, ny=4, y0=1.0, extent=0.4)
+    n_frames = 2
+    train_verts = np.stack([verts] * (n_frames + 1))
+    body = np.array([[0.6, 0.9, 0.6], [1.4, 0.9, 0.6], [1.4, 0.9, 1.4],
+                     [0.6, 0.9, 1.4]], np.float32)
+    body_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    smplx_verts = np.stack([body] * (n_frames + 1))
+
+    cfg = MaterialTrainerConfig(grid_size=32, substep=5, iterations=1)
+    trainer = MaterialTrainer(cfg, faces, verts, train_verts, smplx_verts,
+                              body_f, num_joint_v=0, num_joint_f=0)
+    frames = trainer.simulate(
+        verts, np.zeros_like(verts), smplx_verts[:-1],
+        (smplx_verts[1:] - smplx_verts[:-1]) * 25.0, n_frames=2)
+    assert len(frames) == 2
+    for f in frames:
+        assert f.shape == verts.shape
+        assert np.isfinite(f).all()
+    # cloth fell a little under gravity
+    assert frames[-1][:, 1].mean() < verts[:, 1].mean()
+
+
+def test_merge_layered_meshes():
+    from mpmavatar_tpu.train.evaluate import merge_layered_meshes
+    lower = np.zeros((10, 3))
+    upper = np.ones((10, 3))
+    idx = np.array([1, 3, 5])
+    merged = merge_layered_meshes(lower, upper, idx)
+    assert np.all(merged[idx] == 1.0)
+    mask = np.ones(10, bool)
+    mask[idx] = False
+    assert np.all(merged[mask] == 0.0)
