@@ -86,3 +86,35 @@ def test_knn_weight_transfer_matches_body_weights():
     blended = jnp.einsum("pkj,pk->pj", model.lbs_weights[idx], w)
     np.testing.assert_allclose(np.asarray(blended),
                                np.asarray(model.lbs_weights[::7]), atol=1e-3)
+
+
+def test_deform_tracked_to_poses_roundtrip():
+    """Inverse-LBS first frame then forward-LBS back to the same pose
+    recovers the tracked vertices (train_material_params.py:335-354)."""
+    import jax
+    from mpmavatar_tpu.avatar.pipeline import deform_tracked_to_poses
+    model = make_test_rig()
+    rng = np.random.default_rng(3)
+    first = {
+        "trans": jnp.asarray([[0.1, 0.0, -0.2]]),
+        "orient": jnp.zeros((1, 3)),
+        "body_pose": jnp.asarray(rng.uniform(-0.3, 0.3, (1, 9)),
+                                 jnp.float32),
+        "beta": jnp.zeros((1, 5)), "expr": jnp.zeros((1, 2)),
+        "scale": jnp.asarray(1.0),
+    }
+    out_first = smplx_forward(model, first, use_pose_blendshapes=False)
+    # tracked mesh = body surface + noise, posed like the first frame
+    pick = rng.integers(0, model.v_template.shape[0], 40)
+    tracked = np.asarray(out_first.vertices[0])[pick] \
+        + rng.normal(0, 0.01, (40, 3)).astype(np.float32)
+
+    poses = {k: (jnp.concatenate([v, v], 0) if k != "scale" else v)
+             for k, v in first.items()}
+    deformed, _, w = deform_tracked_to_poses(model, tracked, first, poses,
+                                             k=4)
+    assert deformed.shape == (2, 40, 3)
+    # same pose as the reference frame: exact roundtrip (trans/scale are
+    # removed by the inverse and reapplied by the forward pass)
+    np.testing.assert_allclose(np.asarray(deformed[0]), tracked,
+                               atol=2e-3)
