@@ -115,3 +115,20 @@ def test_full_substep_column_path_matches():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fast.d), np.asarray(ref.d),
                                atol=1e-5)
+
+
+def test_column_path_matches_numpy_oracle_trajectory():
+    """Column-path trajectory vs the scalar numpy oracle over 20 substeps
+    (BASELINE parity target: <1e-4 per-step drift)."""
+    from reference_numpy import RefCloth
+    from mpmavatar_tpu.sim import MPMSolver
+    import jax.numpy as jnp
+
+    verts, faces = make_cloth(nx=5, ny=5)
+    ref, cfg, state, model = build_pair(verts, faces)
+    solver = MPMSolver(cfg, column_k=64, faces=faces)
+    for s in range(20):
+        ref.substep(1e-4)
+        state = solver.substep(state, model, 1e-4, s * 1e-4)
+    np.testing.assert_allclose(np.asarray(state.x[cfg.n_elements:]),
+                               ref.x[ref.E:], atol=5e-5)
