@@ -388,3 +388,28 @@ def update_cov(state: MPMState, cfg: MPMStaticConfig, grad_v, dt):
     return jnp.stack([cov_np1[:, 0, 0], cov_np1[:, 0, 1], cov_np1[:, 0, 2],
                       cov_np1[:, 1, 1], cov_np1[:, 1, 2],
                       cov_np1[:, 2, 2]], -1)
+
+
+def validate_state(state: MPMState, name: str = "state"):
+    """Failure detection (SURVEY.md §5): host-side finite check of the
+    dynamic state; returns a dict of offending fields (empty = healthy).
+    The reference relies on in-kernel NaN clamps only; this adds an
+    explicit detector for long rollouts."""
+    import numpy as np
+    bad = {}
+    for field in ("x", "v", "C", "F", "F_trial", "d"):
+        arr = np.asarray(getattr(state, field))
+        n_bad = int(np.size(arr) - np.isfinite(arr).sum())
+        if n_bad:
+            bad[field] = n_bad
+    return bad
+
+
+def cfl_dt(state: MPMState, cfg: MPMStaticConfig, safety: float = 0.5,
+           dt_max: float = 1e-3):
+    """Suggested stable dt from the CFL condition |v| dt < safety * dx."""
+    import numpy as np
+    vmax = float(np.abs(np.asarray(state.v)).max())
+    if vmax <= 0:
+        return dt_max
+    return min(dt_max, safety * cfg.dx / vmax)

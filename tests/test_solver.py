@@ -102,3 +102,14 @@ def test_grad_matches_finite_difference():
     assert abs(g) > 0
     denom = max(abs(g), abs(fd))
     assert abs(g - fd) / denom < 0.2, (g, fd)
+
+
+def test_validate_state_and_cfl():
+    from mpmavatar_tpu.sim.solver import validate_state, cfl_dt
+    solver, state, model = _setup()
+    assert validate_state(state) == {}
+    bad = dataclasses.replace(
+        state, v=state.v.at[0, 0].set(jnp.nan))
+    rep = validate_state(bad)
+    assert rep.get("v") == 1
+    assert cfl_dt(state, solver.cfg) > 0
