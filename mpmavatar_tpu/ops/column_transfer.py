@@ -61,10 +61,19 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
     col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
                                                         G - 1)
-    active_col = jnp.unique(col, size=c_cap, fill_value=G * G)
-
     perm = jnp.argsort(col)
     sorted_col = col[perm]
+    # occupied columns straight from the sorted ids (no second sort):
+    # seg_id ranks distinct values; the j-th active column is the value at
+    # the first position whose rank is j.
+    flags = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                             (sorted_col[1:] != sorted_col[:-1])
+                             .astype(jnp.int32)])
+    seg_id = jnp.cumsum(flags) - 1
+    first_pos = jnp.searchsorted(seg_id, jnp.arange(c_cap))
+    active_col = jnp.where(jnp.arange(c_cap) <= seg_id[-1],
+                           sorted_col[jnp.clip(first_pos, 0, P - 1)],
+                           G * G)
     start = jnp.searchsorted(sorted_col, active_col)
     end = jnp.searchsorted(sorted_col, active_col, side="right")
     count = (end - start).astype(jnp.int32)
