@@ -132,3 +132,39 @@ def test_column_path_matches_numpy_oracle_trajectory():
         state = solver.substep(state, model, 1e-4, s * 1e-4)
     np.testing.assert_allclose(np.asarray(state.x[cfg.n_elements:]),
                                ref.x[ref.E:], atol=5e-5)
+
+
+def test_column_path_mixed_sand_cloth():
+    """Column path == scatter path with a traditional (sand) block."""
+    from mpmavatar_tpu.train.demo import build_demo_sim, get_sand
+    from mpmavatar_tpu.sim import MPMSolver, SimTransform
+    import jax.numpy as jnp
+
+    verts, faces = make_cloth(nx=4, ny=4, y0=1.2, extent=0.4)
+    sand, sand_vol = get_sand(center=(0.9, 1.5, 0.9),
+                              length=(0.2, 0.04, 0.1), res=(6, 2, 3))
+    body = np.array([[0.7, 0.9, 0.7], [1.3, 0.9, 0.7], [1.3, 0.9, 1.3],
+                     [0.7, 0.9, 1.3]], np.float32)
+    body_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    tf = SimTransform.from_verts(verts)
+    cfg, state, model, _ = build_demo_sim(
+        verts, faces, sand, sand_vol, body, body_f, tf, grid_size=32)
+
+    def run(col_k):
+        s = MPMSolver(cfg, column_k=col_k, mesh_column_k=col_k and 16,
+                      faces=faces if col_k else None)
+        s.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
+        s.add_mesh_collider(body_f, friction=0.5)
+        st = state
+        mx = tf.wld2sim(jnp.asarray(body))
+        mv = jnp.zeros((4, 3))
+        for k in range(6):
+            st = s.substep(st, model, 1e-4, k * 1e-4, mesh_x=mx, mesh_v=mv)
+        return st
+
+    ref = run(0)
+    fast = run(64)
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(fast.F_trial),
+                               np.asarray(ref.F_trial), atol=1e-5)
