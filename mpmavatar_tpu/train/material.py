@@ -145,44 +145,55 @@ class MaterialTrainer:
         dt = (1.0 / cfg.fps) / cfg.substep
         n_frames = self.train_verts.shape[0] - 1
         scale = self.tf.scale
-        fps = cfg.fps
 
-        smplx_sim = jnp.asarray(np.asarray(
-            self.tf.wld2sim(jnp.asarray(self.smplx_verts))))
-        smplx_velo_sim = jnp.asarray(self.smplx_velo) * scale
-        target_sim = jnp.asarray(np.asarray(
-            self.tf.wld2sim(jnp.asarray(self.train_verts))))
-        joint_velo_sim = jnp.asarray(
-            self.train_verts_velo[:, :static.num_joint_v]) * scale
+        # rollout data passed as jit ARGUMENTS (large closed-over
+        # constants can exceed remote-compile payload limits on some TPU
+        # deployments) and threaded through lax.scan as xs
         faces_j = jnp.asarray(self.faces[:static.num_joint_f])
+        self._rollout_data = {
+            "smplx_sim": jnp.asarray(np.asarray(
+                self.tf.wld2sim(jnp.asarray(self.smplx_verts))))[:n_frames],
+            "smplx_velo_sim": jnp.asarray(self.smplx_velo) * scale,
+            "target_sim": jnp.asarray(np.asarray(
+                self.tf.wld2sim(jnp.asarray(self.train_verts))))[1:],
+            "joint_velo_sim": jnp.asarray(
+                self.train_verts_velo[:, :static.num_joint_v]) * scale,
+            "base_state": self.base_state,
+            "verts_init_sim": self.vertices_init_sim,
+        }
 
-        def rollout_loss(params):
+        def rollout_loss(params, data):
             d = params["D"]
             e = params["E"] * 100.0
             h = params["H"]
             model = set_E_nu(self.model0, E=e)
-            state = reset_density(self.base_state, d)
-            state = dataclasses.replace(state, R_inv=self._rest_dir_inv(h))
+            state = reset_density(data["base_state"], d)
+            v0 = data["verts_init_sim"]
+            scaled = jnp.stack([v0[:, 0], v0[:, 1] * h, v0[:, 2]], 1)
+            r_inv = types.rest_dir_inv_from_vf(scaled,
+                                               jnp.asarray(self.faces))
+            state = dataclasses.replace(state, R_inv=r_inv)
 
-            def frame_body(carry, i):
+            def frame_body(carry, xs):
                 st, t = carry
-                mesh_x = smplx_sim[i]
-                mesh_v = smplx_velo_sim[i]
-                jv = joint_velo_sim[i]
+                mesh_x, mesh_v, jv, target = xs
                 jf = jv[faces_j].mean(1)
                 st, t = solver.frame(st, model, dt, cfg.substep, t,
                                      mesh_x=mesh_x, mesh_v=mesh_v,
                                      joint_verts_v=jv, joint_faces_v=jf,
                                      remat=True)
                 cloth = st.x[static.n_elements:]
-                floss = jnp.mean((cloth - target_sim[i + 1]) ** 2)
+                floss = jnp.mean((cloth - target) ** 2)
                 return (st, t), floss
 
             (_, _), losses = jax.lax.scan(
-                frame_body, (state, jnp.float32(0.0)), jnp.arange(n_frames))
+                frame_body, (state, jnp.float32(0.0)),
+                (data["smplx_sim"], data["smplx_velo_sim"],
+                 data["joint_velo_sim"], data["target_sim"]))
             return jnp.mean(losses)
 
-        return jax.jit(jax.value_and_grad(rollout_loss))
+        vg = jax.jit(jax.value_and_grad(rollout_loss))
+        return lambda params: vg(params, self._rollout_data)
 
     def train_one_step(self):
         """One optimization step with autodiff gradients
