@@ -48,6 +48,10 @@ def build_body_sphere(n_theta=48, n_phi=48, center=(1.0, 0.9, 1.0), r=0.25):
 
 def main():
     import jax
+    # persistent compile cache: the TPU tunnel's remote compiles are slow
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from mpmavatar_tpu.core import types
     from mpmavatar_tpu.sim import MPMSolver
