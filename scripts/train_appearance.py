@@ -47,10 +47,13 @@ def main():
     os.makedirs(cfg.model_path, exist_ok=True)
     dump_config(os.path.join(cfg.model_path, "cfg_args.json"), cfg, opt)
 
+    from mpmavatar_tpu.train.appearance import viewspace_gradients
     rng = np.random.default_rng(opt.seed)
     active_sh = 0
     step = None
     ds = scene.train_dataset
+    densify_state = G.init_densify_state(params.splats.capacity)
+    num_faces = len(avatar.faces)
     for it in range(opt.iterations):
         if it % 1000 == 0 and active_sh < cfg.sh_degree:
             active_sh += 1          # oneupSHdegree (train_appearance.py:114)
@@ -66,6 +69,31 @@ def main():
             jnp.asarray(batch["rgb"]), jnp.asarray(batch["msk"]),
             jnp.asarray(avatar.ao_maps[t]),
             cam.image_width, cam.image_height)
+        # densification loop (train_appearance.py:245-261)
+        if opt.densify_from_iter <= it < opt.densify_until_iter:
+            verts = avatar.select_verts(params, t)
+            vgrad = viewspace_gradients(
+                avatar, params, t, (camera_arrays(cam), cam.image_width,
+                                    cam.image_height), batch["camera_idx"],
+                jnp.asarray(batch["rgb"]), jnp.asarray(batch["msk"]),
+                jnp.asarray(avatar.ao_maps[t]), active_sh, cfg.white_bkgd)
+            frames = avatar.frames_for_verts(verts)
+            densify_state = G.add_densification_stats(
+                densify_state, vgrad, aux["radii"][:params.splats.capacity],
+                aux["radii"][:params.splats.capacity] > 0)
+            if it % opt.densification_interval == 0 and it > 0:
+                splats, densify_state = G.densify_and_prune(
+                    params.splats, densify_state, frames, num_faces,
+                    opt.densify_grad_threshold, 0.005,
+                    scene.train_dataset.scene_radius,
+                    percent_dense=opt.percent_dense,
+                    key=jax.random.PRNGKey(it))
+                import dataclasses as _dc
+                params = _dc.replace(params, splats=splats)
+            if it % opt.opacity_reset_interval == 0 and it > 0:
+                import dataclasses as _dc
+                params = _dc.replace(
+                    params, splats=G.reset_opacity(params.splats))
         if it % 100 == 0:
             print(f"iter {it} loss {float(loss):.5f} "
                   f"alive {int(np.asarray(params.splats.alive).sum())}",
