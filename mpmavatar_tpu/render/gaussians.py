@@ -248,9 +248,11 @@ def densify_and_prune(g: GaussianParams, ds: DensifyState, frames: FaceFrames,
     alive = alive.at[jnp.where(ok_c, dst_c, cap)].set(True, mode="drop")
     alive = alive.at[jnp.where(ok_s, dst_s, cap)].set(True, mode="drop")
 
-    # prune: originals that were split; low opacity; oversized
-    prune = split_mask & (jnp.cumsum(split_mask.astype(jnp.int32)) - 1
-                          + next_rank < n_free)
+    # prune: originals that were split (only when BOTH children landed in
+    # free slots); low opacity; oversized
+    split_ordinal = jnp.cumsum(split_mask.astype(jnp.int32)) - 1
+    prune = split_mask & (next_rank + n_split * split_ordinal
+                          + (n_split - 1) < n_free)
     prune = prune | (get_opacity(out)[:, 0] < min_opacity)
     prune = prune | (jnp.max(get_scaling(out, frames), axis=1) > 0.1 * extent)
     prune = prune & alive
