@@ -514,7 +514,8 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 
 @partial(jax.jit, static_argnums=(0,),
-         static_argnames=("column_k", "mesh_column_k", "column_c_cap"))
+         static_argnames=("column_k", "mesh_column_k", "column_c_cap",
+                          "column_radius"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -529,6 +530,8 @@ def p2g2p(cfg: MPMStaticConfig,
           column_k: int = 0,
           mesh_column_k: int = 0,
           column_c_cap: Optional[int] = None,
+          column_radius: int = 1,
+          column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
 
@@ -579,8 +582,9 @@ def p2g2p(cfg: MPMStaticConfig,
 
     if column_k > 0:
         from ..ops import column_transfer as _ct
-        bins = _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap)
-        geom = _ct.pack_geometry(cfg, state.x, bins)
+        bins = (column_bins if column_bins is not None else
+                _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap))
+        geom = _ct.pack_geometry(cfg, state.x, bins, radius=column_radius)
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C
@@ -590,7 +594,7 @@ def p2g2p(cfg: MPMStaticConfig,
         grid_v_in, grid_m = _ct.p2g_columns(
             cfg, state, dt * sel[:nnv, None, None] * stress,
             dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-            geom=geom)
+            radius=column_radius, geom=geom)
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
@@ -614,7 +618,8 @@ def p2g2p(cfg: MPMStaticConfig,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
-                                   bins=bins, geom=geom)
+                                   bins=bins, radius=column_radius,
+                                   geom=geom)
     else:
         gathered = None
     x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,

@@ -133,33 +133,49 @@ def _z_bases(px_z, base_z, cfg, Gz):
     return jnp.stack([z0, z1, z2], axis=-2)  # (C, K, 3, Gz)
 
 
-_SHIFTS = [(i, j) for i in range(3) for j in range(3)]
+def shift_set(radius: int = 1):
+    """Per-axis column shifts covering binned-column drift of
+    +/-(radius-1) cells: offsets in [-(radius-1), radius+1]."""
+    rng = range(-(radius - 1), radius + 2)
+    return [(i, j) for i in rng for j in rng]
 
 
 class PackedGeometry(NamedTuple):
-    """Per-slot stencil geometry shared by p2g and g2p in one substep."""
+    """Per-slot stencil geometry shared by p2g and g2p in one substep.
+
+    With ``radius > 1`` (amortized rebinning) the shift axis S grows to
+    (2*radius+1)^2 and weights are computed relative to the particle's
+    CURRENT base cell, masked to its own 3-tap stencil."""
     px: jnp.ndarray     # (C, K, 3)
     base: jnp.ndarray   # (C, K, 3) int32
     zb: jnp.ndarray     # (C, K, 3, Gz)
-    wxy: jnp.ndarray    # (C, K, 9)
+    wxy: jnp.ndarray    # (C, K, S)
     dxwy: jnp.ndarray
     wxdy: jnp.ndarray
     dpx: jnp.ndarray
     dpy: jnp.ndarray
 
 
-def pack_geometry(cfg: MPMStaticConfig, x, bins: ColumnBins
-                  ) -> "PackedGeometry":
+def pack_geometry(cfg: MPMStaticConfig, x, bins: ColumnBins,
+                  radius: int = 1) -> "PackedGeometry":
     px = _packed_gather(x, bins.pid)
     base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
     zb = _z_bases(px[..., 2], base[..., 2], cfg, cfg.n_grid)
+    G = cfg.n_grid
+    col = bins.active_col
+    cb = jnp.stack([col // G, col % G], -1)[:, None, :]  # (C, 1, 2)
     wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2],
-                                            cfg)
+                                            cfg, cb, radius)
     return PackedGeometry(px, base, zb, wxy, dxwy, wxdy, dpx, dpy)
 
 
-def _xy_weights(px_xy, base_xy, cfg):
-    """Per-shift in-plane weights/derivatives; all (C, K, 9)."""
+def _xy_weights(px_xy, base_xy, cfg, col_xy, radius: int = 1):
+    """Per-shift in-plane weights/derivatives; all (C, K, S).
+
+    ``col_xy`` is the BINNED column of each slot; shift s targets column
+    col + s, which is the particle's own tap o = s - (base - col).  Taps
+    outside [0, 2] get zero weight (drift beyond radius-1 drops the
+    particle — monitored via ColumnBins.overflow at rebin time)."""
     inv_dx = cfg.inv_dx
     g = px_xy * inv_dx
     f = g - base_xy.astype(px_xy.dtype)
@@ -168,50 +184,59 @@ def _xy_weights(px_xy, base_xy, cfg):
     wc = f - 0.5
     w = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
     dw = jnp.stack([f - 1.5, -2.0 * (f - 1.0), f - 0.5], -1) * inv_dx
+    drift = base_xy - col_xy                      # (C, K, 2) int32
+
+    def axis_terms(axis, s):
+        o = s - drift[..., axis]                  # tap index, may be oob
+        wv = jnp.zeros_like(f[..., axis])
+        dv = jnp.zeros_like(f[..., axis])
+        for q in range(3):
+            hit = (o == q).astype(wv.dtype)
+            wv = wv + hit * w[..., axis, q]
+            dv = dv + hit * dw[..., axis, q]
+        dp = o.astype(f.dtype) - f[..., axis]
+        return wv, dv, dp
 
     outs = []
-    for (i, j) in _SHIFTS:
-        wxy = w[..., 0, i] * w[..., 1, j]
-        dxwy = dw[..., 0, i] * w[..., 1, j]
-        wxdy = w[..., 0, i] * dw[..., 1, j]
-        dpx = float(i) - f[..., 0]
-        dpy = float(j) - f[..., 1]
-        outs.append((wxy, dxwy, wxdy, dpx, dpy))
+    for (i, j) in shift_set(radius):
+        wx, dwx, dpx = axis_terms(0, i)
+        wy, dwy, dpy = axis_terms(1, j)
+        outs.append((wx * wy, dwx * wy, wx * dwy, dpx, dpy))
     stack = lambda n: jnp.stack([o[n] for o in outs], -1)
     return stack(0), stack(1), stack(2), stack(3), stack(4)
 
 
-def _shift_columns(bins: ColumnBins, G: int):
+def _shift_columns(bins: ColumnBins, G: int, radius: int = 1):
     """Target column ids per shift; sentinel G*G for out-of-range or
-    inactive columns.  Returns (C, 9) int32."""
+    inactive columns.  Returns (C, S) int32."""
     ac = bins.active_col
     cx = ac // G
     cy = ac % G
     inactive = ac >= G * G
     cols = []
-    for (i, j) in _SHIFTS:
+    for (i, j) in shift_set(radius):
         tx = cx + i
         ty = cy + j
-        bad = inactive | (tx >= G) | (ty >= G)
+        bad = inactive | (tx < 0) | (ty < 0) | (tx >= G) | (ty >= G)
         cols.append(jnp.where(bad, G * G, tx * G + ty))
     return jnp.stack(cols, 1)
 
 
-def _scatter_columns(out, bins, G, n_ch):
-    """Place (C, Gz, n_ch, 9) shift results into a (G*G, Gz, n_ch) grid
-    via 9 row scatters of C rows each (row-serial scatter cost is bounded
+def _scatter_columns(out, bins, G, n_ch, radius: int = 1):
+    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid
+    via S row scatters of C rows each (row-serial scatter cost is bounded
     by the active-column cap, not the particle count)."""
-    targets = _shift_columns(bins, G)
+    targets = _shift_columns(bins, G, radius)
     grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
-    for s in range(9):
+    for s in range(targets.shape[1]):
         grid = grid.at[targets[:, s]].add(out[..., s], mode="drop")
     return grid[:G * G]
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 4, 7))
 def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
                 K: int, bins: ColumnBins = None, c_eff=None,
-                geom: PackedGeometry = None):
+                radius: int = 1, geom: PackedGeometry = None):
     """Column-packed P2G; exact replacement for stepping.p2g.
 
     ``stress`` and ``vertex_force`` must be pre-scaled by dt*selection;
@@ -241,7 +266,7 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     mass = state.mass * sel
 
     if geom is None:
-        geom = pack_geometry(cfg, state.x, bins)
+        geom = pack_geometry(cfg, state.x, bins, radius=radius)
     pv = _packed_gather(state.v, pid)
     pC = _packed_gather(state.C if c_eff is None else c_eff, pid)
     pmass = _packed_gather(mass, pid) * valid
@@ -257,7 +282,7 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     mC = pmass[..., None, None] * pC                     # (C,K,3,3)
     mv = pmass[..., None] * pv                           # (C,K,3)
 
-    S = 9
+    S = wxy.shape[-1]
     # alpha (Z0): momentum + in-plane APIC + in-plane force parts
     apic_xy = (mC[..., :, 0, None] * dpx[..., None, :]
                + mC[..., :, 1, None] * dpy[..., None, :]) * dx
@@ -290,17 +315,18 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     coeff = coeff.reshape(C_cap, K * 3, 4 * S)
     zmat = zb.reshape(C_cap, K * 3, G)
 
-    out = jnp.einsum("cmz,cmn->czn", zmat, coeff)        # (C, Gz, 36)
+    out = jnp.einsum("cmz,cmn->czn", zmat, coeff)        # (C, Gz, 4*S)
     out = out.reshape(C_cap, G, 4, S)
 
-    grid = _scatter_columns(out, bins, G, 4)             # (G*G, Gz, 4)
+    grid = _scatter_columns(out, bins, G, 4, radius)     # (G*G, Gz, 4)
     grid = grid.reshape(G * G * G, 4)
     return grid[:, :3], grid[:, 3]
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 5))
 def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
-                bins: ColumnBins = None, geom: PackedGeometry = None):
+                bins: ColumnBins = None, radius: int = 1,
+                geom: PackedGeometry = None):
     """Column-packed G2P gather; returns per-particle (new_v (P,3),
     new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order."""
     G = cfg.n_grid
@@ -312,21 +338,22 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
     C_cap = pid.shape[0]
 
     if geom is None:
-        geom = pack_geometry(cfg, state.x, bins)
+        geom = pack_geometry(cfg, state.x, bins, radius=radius)
     zb = geom.zb
     wxy, dxwy, wxdy, dpx, dpy = (geom.wxy, geom.dxwy, geom.wxdy,
                                  geom.dpx, geom.dpy)
+    S = wxy.shape[-1]
 
     grid = grid_v_out.reshape(G * G, G, 3)
     grid_pad = jnp.concatenate(
         [grid, jnp.zeros((1, G, 3), dtype)], 0)          # sentinel row
-    tcols = _shift_columns(bins, G)                      # (C, 9)
-    gcols = grid_pad[tcols]                              # (C, 9, Gz, 3)
+    tcols = _shift_columns(bins, G, radius)              # (C, S)
+    gcols = grid_pad[tcols]                              # (C, S, Gz, 3)
 
     zmat = zb.reshape(C_cap, K * 3, G)
-    g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, G, 27)
+    g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, G, S * 3)
     acc = jnp.einsum("cmz,czn->cmn", zmat, g_all)
-    acc = acc.reshape(C_cap, K, 3, 9, 3)                 # (C,K,basis,S,3)
+    acc = acc.reshape(C_cap, K, 3, S, 3)                 # (C,K,basis,S,3)
 
     v0 = acc[..., 0, :, :]   # (C,K,S,3)
     v1 = acc[..., 1, :, :]
@@ -379,12 +406,14 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
 
     zb = _z_bases(pp[..., 2], base[..., 2], cfg, G)
     z0 = zb[..., 0, :]
-    wxy, _, _, _, _ = _xy_weights(pp[..., :2], base[..., :2], cfg)
+    col = bins.active_col
+    cbl = jnp.stack([col // G, col % G], -1)[:, None, :]
+    wxy, _, _, _, _ = _xy_weights(pp[..., :2], base[..., :2], cfg, cbl)
 
     vals1 = jnp.concatenate(
         [pvals, jnp.ones(pvals.shape[:-1] + (1,), pvals.dtype)], -1)
     coeff = (wxy * ok[..., None])[..., :, None] * vals1[..., None, :]
-    S = 9
+    S = wxy.shape[-1]
     coeff = coeff.transpose(0, 1, 3, 2).reshape(C_cap, K, (Cch + 1) * S)
     out = jnp.einsum("ckz,ckn->czn", z0, coeff)
     out = out.reshape(C_cap, G, Cch + 1, S)

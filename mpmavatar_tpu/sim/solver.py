@@ -47,7 +47,8 @@ class MPMSolver:
 
     def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
                  mesh_column_k: int = 0, faces=None,
-                 column_c_cap=None):
+                 column_c_cap=None, column_radius: int = 1,
+                 rebin_every: int = 1):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -57,6 +58,11 @@ class MPMSolver:
         self.column_k = column_k
         self.mesh_column_k = mesh_column_k
         self.column_c_cap = column_c_cap
+        self.column_radius = column_radius
+        self.rebin_every = rebin_every
+        if rebin_every > 1:
+            assert column_radius >= 2, (
+                "amortized rebinning needs column_radius >= 2")
         self.vf_incidence = None
         if faces is not None and cfg.n_vertices > 0 and column_k > 0:
             from ..ops.column_transfer import build_vertex_incidence
@@ -223,6 +229,7 @@ class MPMSolver:
                               column_k=self.column_k,
                               mesh_column_k=self.mesh_column_k,
                               column_c_cap=self.column_c_cap,
+                              column_radius=self.column_radius,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -238,8 +245,20 @@ class MPMSolver:
         linearly in-scan (train_material_params.py:622-626)."""
         cfg, colliders = self.cfg, self.colliders
 
+        amortized = self.column_k > 0 and self.rebin_every > 1
+
         def body(carry, s):
-            st, t = carry
+            if amortized:
+                st, t, bins = carry
+                from ..ops import column_transfer as _ct
+                bins = jax.lax.cond(
+                    s % self.rebin_every == 0,
+                    lambda x: _ct.build_bins(x, cfg, self.column_k,
+                                             c_cap=self.column_c_cap),
+                    lambda x: bins, st.x)
+            else:
+                st, t = carry
+                bins = None
             kw = {}
             if mesh_x is not None:
                 kw["mesh_x"] = mesh_x + (s.astype(jnp.float32) * dt) * mesh_v
@@ -253,13 +272,26 @@ class MPMSolver:
                                 column_k=self.column_k,
                                 mesh_column_k=self.mesh_column_k,
                                 column_c_cap=self.column_c_cap,
+                                column_radius=self.column_radius,
+                                column_bins=bins,
                                 vf_incidence=self.vf_incidence, **kw)
+            if amortized:
+                return (st, t + dt, bins), None
             return (st, t + dt), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        (state, time), _ = jax.lax.scan(body, (state, jnp.float32(time0)),
-                                        jnp.arange(num_substeps))
+        if amortized:
+            from ..ops import column_transfer as _ct
+            bins0 = _ct.build_bins(state.x, cfg, self.column_k,
+                                   c_cap=self.column_c_cap)
+            (state, time, _), _ = jax.lax.scan(
+                body, (state, jnp.float32(time0), bins0),
+                jnp.arange(num_substeps))
+        else:
+            (state, time), _ = jax.lax.scan(
+                body, (state, jnp.float32(time0)),
+                jnp.arange(num_substeps))
         return state, time
 
 

@@ -168,3 +168,57 @@ def test_column_path_mixed_sand_cloth():
                                atol=5e-6)
     np.testing.assert_allclose(np.asarray(fast.F_trial),
                                np.asarray(ref.F_trial), atol=1e-5)
+
+
+def test_radius2_with_stale_bins_matches_exact():
+    """Amortized rebinning: bins built from OLD positions + radius=2
+    window must reproduce the exact transfer on drifted positions
+    (drift < 1 cell)."""
+    cfg, state, model, stress, vforce, dt = _setup()
+    rng = np.random.default_rng(7)
+    # drift up to ~0.8 cells in x/y/z
+    drift = (rng.uniform(-0.8, 0.8, np.asarray(state.x).shape)
+             * cfg.dx).astype(np.float32)
+    moved = dataclasses.replace(state, x=state.x + jnp.asarray(drift))
+
+    sel = (state.selection == 0).astype(jnp.float32)
+    sstress = dt * sel[:cfg.n_no_vertices, None, None] * stress
+    svf = dt * vforce
+
+    # exact: fresh bins on moved positions
+    gv_ref, gm_ref = ct.p2g_columns(cfg, moved, sstress, svf, K=64)
+    # amortized: stale bins from the un-moved positions, radius 2
+    stale_bins = ct.build_bins(state.x, cfg, 64)
+    gv, gm = ct.p2g_columns(cfg, moved, sstress, svf, K=64,
+                            bins=stale_bins, radius=2)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=2e-6)
+
+    # g2p too
+    grid = jnp.asarray(rng.normal(size=(cfg.n_grid ** 3, 3))
+                       .astype(np.float32))
+    ref = ct.g2p_columns(cfg, moved, grid, K=64)
+    out = ct.g2p_columns(cfg, moved, grid, K=64, bins=stale_bins, radius=2)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_amortized_frame_close_to_exact():
+    """solver.frame with rebin_every=4 + radius=2 stays close to the
+    per-substep-rebin trajectory (exact while drift < 1 cell)."""
+    from mpmavatar_tpu.sim import MPMSolver
+    verts, faces = make_cloth(nx=6, ny=6, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+
+    def run(rebin_every, radius):
+        s = MPMSolver(cfg, column_k=64, faces=faces,
+                      column_radius=radius, rebin_every=rebin_every)
+        st, _ = s.frame(state, model, 2e-4, 12, 0.0)
+        return st
+
+    exact = run(1, 1)
+    amort = run(4, 2)
+    np.testing.assert_allclose(np.asarray(amort.x), np.asarray(exact.x),
+                               atol=1e-6)
