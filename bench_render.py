@@ -1,0 +1,60 @@
+"""Secondary benchmark: 3DGS splat rendering FPS at 1080p.
+
+BASELINE.md's second target: 1080p splat render on-chip alongside sim.
+Prints one JSON line (not the driver headline metric — see bench.py)."""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from mpmavatar_tpu.render import camera_arrays, rasterize
+    from mpmavatar_tpu.render.cameras import Camera
+    from mpmavatar_tpu.render.geometry import \
+        covariance_from_scaling_rotation
+
+    n = 50_000
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(0, 0.4, (n, 3)).astype(np.float32))
+    colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    opac = jnp.asarray(
+        (0.3 + 0.6 * rng.random(n)).astype(np.float32))
+    scales = jnp.asarray(
+        (0.003 + 0.01 * rng.random((n, 3))).astype(np.float32))
+    rots = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    cov3d = covariance_from_scaling_rotation(scales, 1.0, rots)
+
+    w, h = 1920, 1080
+    k = np.array([[1500.0, 0, w / 2], [0, 1500.0, h / 2], [0, 0, 1]])
+    w2c = np.eye(4)
+    w2c[2, 3] = 3.0
+    cam = Camera.from_kw2c("bench", w, h, k, w2c, near=0.5, far=20.0)
+    ca = camera_arrays(cam)
+
+    def render(xyz):
+        out = rasterize(xyz, colors, opac, cov3d, ca, jnp.zeros(3),
+                        width=w, height=h, tile_capacity=512)
+        return out["render"]
+
+    rj = jax.jit(render)
+    img = rj(xyz)
+    s = float(img.sum())
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        img = rj(xyz)
+    s = float(img.sum())
+    fps = iters / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "splat_render_fps_1080p_50k",
+                      "value": round(fps, 2), "unit": "frames/s",
+                      "vs_baseline": round(fps / 30.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()
