@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from . import lbs
-from .smplx import SMPLXModel, SMPLXOutput, smplx_forward
+from .smplx import SMPLXModel, smplx_forward
 
 
 def deform_tracked_to_poses(model: SMPLXModel,

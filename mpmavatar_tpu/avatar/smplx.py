@@ -9,7 +9,6 @@ transforms under jit.  Full-pose layout (55 joints):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import jax.numpy as jnp

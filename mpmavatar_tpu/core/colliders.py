@@ -13,7 +13,7 @@ order — exactly the reference's ``grid_postprocess`` pipeline.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

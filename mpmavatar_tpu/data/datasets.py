@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import List, Optional
-
 import numpy as np
 
 from ..render.cameras import Camera

@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.types import MPMModel, MPMState, MPMStaticConfig
+from ..core.types import MPMState, MPMStaticConfig
 
 
 class ColumnBins(NamedTuple):

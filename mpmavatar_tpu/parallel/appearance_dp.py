@@ -10,13 +10,10 @@ optax update — the canonical DP recipe, with params replicated.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..render import gaussians as G
 from ..render.rasterizer import CameraArrays
 from ..train.appearance import render_avatar_frame
 from ..utils.losses import l1_loss, ssim

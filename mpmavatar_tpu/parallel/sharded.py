@@ -24,7 +24,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import stepping
-from ..core.colliders import ColliderSet
 from ..core.types import MPMStaticConfig, pytree_dataclass
 
 

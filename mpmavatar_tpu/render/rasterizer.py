@@ -18,9 +18,7 @@ replace ``_composite`` without touching the public API.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

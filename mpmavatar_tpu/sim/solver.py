@@ -16,7 +16,6 @@ mpm_solver.py:13-1417).  Differences by design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -28,8 +27,8 @@ from ..core.colliders import (BoundingBoxCollider, ColliderSet, CuboidCollider,
                               GridMaskCollider, MeshCollider, ParticleImpulse,
                               ParticleVelocityModifier, SurfaceCollider,
                               STICKY, SLIP, FRICTIONAL, CUT)
-from ..core.types import (MPMModel, MPMState, MPMStaticConfig, finalize_mu_lam,
-                          make_model, make_state)
+from ..core.types import (MPMModel, MPMState, MPMStaticConfig,
+                          finalize_mu_lam)
 
 MATERIAL_IDS = {
     "jelly": 0, "metal": 1, "sand": 2, "foam": 3, "snow": 4,

@@ -11,8 +11,6 @@ configuration of the MPM core.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,15 +13,12 @@ for comparison.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core import stepping, types
+from ..core import types
 from ..sim import MPMSolver, SimTransform, reset_density, set_E_nu
 from ..utils.schedules import cosine_lr
 

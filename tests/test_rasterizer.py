@@ -129,3 +129,35 @@ def test_mesh_bound_render_end_to_end():
     assert np.isfinite(img).all()
     assert img[0].max() > 0.05          # something rendered
     assert out["mask"].shape == (1, 64, 64)
+
+
+def test_extra_gaussians_path():
+    """Demo `extra` path: appended gaussians render and occlude
+    (gaussian_renderer/__init__.py:85-92)."""
+    from mpmavatar_tpu.render.geometry import \
+        covariance_from_scaling_rotation
+    verts = jnp.asarray([[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5],
+                         [0.0, 0.5, 0.5]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    params = G.init_from_mesh(1, sh_degree=1,
+                              rgb=np.asarray([[0.0, 0.8, 0.0]]))
+    frames = G.face_frames_from_verts(verts, faces)
+    cam = simple_camera()
+
+    # extra red blob in FRONT of the avatar triangle
+    n = 1
+    exyz = jnp.asarray([[0.0, 0.0, -0.5]], jnp.float32)
+    ecol = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    eop = jnp.asarray([0.95], jnp.float32)
+    ecov = covariance_from_scaling_rotation(
+        jnp.full((n, 3), 0.15), 1.0,
+        jnp.zeros((n, 4)).at[:, 0].set(1.0))
+
+    out = render(cam, params, frames, bg_color=jnp.zeros(3),
+                 active_sh_degree=0, extra=(exyz, ecol, eop, ecov))
+    img = np.asarray(out["render"])
+    assert img[0, 31, 31] > 0.5     # red extra in front
+    out2 = render(cam, params, frames, bg_color=jnp.zeros(3),
+                  active_sh_degree=0)
+    img2 = np.asarray(out2["render"])
+    assert img2[0, 31, 31] < 0.1    # without extra: no red
