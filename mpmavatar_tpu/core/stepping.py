@@ -85,10 +85,11 @@ def _flat_indices(base: jnp.ndarray, n_grid: int) -> jnp.ndarray:
 
 
 def _scatter_grid(vel_src, wt_src, gidx, n_cells):
-    """Scatter-add (N,27,3) velocity-like and (N,27) weight-like values."""
+    """Scatter-add (N,27,C) value rows and (N,27) weight-like values."""
     flat = gidx.reshape(-1)
-    grid_v = jnp.zeros((n_cells, 3), vel_src.dtype).at[flat].add(
-        vel_src.reshape(-1, 3), mode="drop")
+    c = vel_src.shape[-1]
+    grid_v = jnp.zeros((n_cells, c), vel_src.dtype).at[flat].add(
+        vel_src.reshape(-1, c), mode="drop")
     grid_w = jnp.zeros((n_cells,), wt_src.dtype).at[flat].add(
         wt_src.reshape(-1), mode="drop")
     return grid_v, grid_w

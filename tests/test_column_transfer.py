@@ -222,3 +222,21 @@ def test_amortized_frame_close_to_exact():
     amort = run(4, 2)
     np.testing.assert_allclose(np.asarray(amort.x), np.asarray(exact.x),
                                atol=1e-6)
+
+
+def test_splat_columns_generic_channels():
+    """splat_columns / rasterize_to_grid handle arbitrary channel counts
+    (mover rasterization uses 3; cov export uses 6)."""
+    from mpmavatar_tpu.core import stepping, types as T
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray((0.4 + 1.2 * rng.random((300, 3))).astype(np.float32))
+    cfg = T.MPMStaticConfig(n_elements=0, n_traditional=300, n_vertices=0,
+                            n_grid=32, grid_lim=2.0)
+    for c in (1, 3, 6):
+        vals = jnp.asarray(rng.normal(size=(300, c)).astype(np.float32))
+        gv_ref, gw_ref = stepping.rasterize_to_grid(cfg, pts, vals, 32 ** 3)
+        gv, gw = ct.splat_columns(cfg, pts, vals, K=32)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                   atol=5e-6)
