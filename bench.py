@@ -93,14 +93,21 @@ def main():
         return st
 
     run = jax.jit(run_frame)
-    state = jax.block_until_ready(run(state))         # compile + warmup
-    state = jax.block_until_ready(run(state))
+
+    def sync(st):
+        # device->host transfer: genuinely waits for completion (the
+        # tunneled runtime's block_until_ready can return early).
+        float(jnp.sum(st.x))
+        return st
+
+    state = sync(run(state))                          # compile + warmup
+    state = sync(run(state))
 
     n_frames = 5
     t0 = time.perf_counter()
     for _ in range(n_frames):
         state = run(state)
-    jax.block_until_ready(state)
+    sync(state)
     dt_wall = time.perf_counter() - t0
     sps = n_frames * substeps / dt_wall
 
