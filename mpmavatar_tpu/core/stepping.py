@@ -516,7 +516,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
-                          "column_radius"))
+                          "column_radius", "column_bf16"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -532,6 +532,7 @@ def p2g2p(cfg: MPMStaticConfig,
           mesh_column_k: int = 0,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
+          column_bf16: bool = False,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
@@ -595,7 +596,7 @@ def p2g2p(cfg: MPMStaticConfig,
         grid_v_in, grid_m = _ct.p2g_columns(
             cfg, state, dt * sel[:nnv, None, None] * stress,
             dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-            radius=column_radius, geom=geom)
+            radius=column_radius, geom=geom, bf16=column_bf16)
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
@@ -620,6 +621,7 @@ def p2g2p(cfg: MPMStaticConfig,
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
                                    bins=bins, radius=column_radius,
+                                   bf16=column_bf16,
                                    geom=geom)
     else:
         gathered = None

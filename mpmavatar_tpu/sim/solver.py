@@ -47,7 +47,7 @@ class MPMSolver:
     def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
-                 rebin_every: int = 1):
+                 rebin_every: int = 1, column_bf16: bool = False):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -59,6 +59,7 @@ class MPMSolver:
         self.column_c_cap = column_c_cap
         self.column_radius = column_radius
         self.rebin_every = rebin_every
+        self.column_bf16 = column_bf16
         if rebin_every > 1:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
@@ -229,6 +230,7 @@ class MPMSolver:
                               mesh_column_k=self.mesh_column_k,
                               column_c_cap=self.column_c_cap,
                               column_radius=self.column_radius,
+                              column_bf16=self.column_bf16,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -272,6 +274,7 @@ class MPMSolver:
                                 mesh_column_k=self.mesh_column_k,
                                 column_c_cap=self.column_c_cap,
                                 column_radius=self.column_radius,
+                                column_bf16=self.column_bf16,
                                 column_bins=bins,
                                 vf_incidence=self.vf_incidence, **kw)
             if amortized:

@@ -240,3 +240,25 @@ def test_splat_columns_generic_channels():
                                    atol=5e-6)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                    atol=5e-6)
+
+
+def test_bf16_transfer_mode():
+    """column_bf16: half-precision einsum operands with f32 accumulation.
+    Must stay within bf16 rounding of the f32 path and actually engage."""
+    import dataclasses
+    from mpmavatar_tpu.sim import MPMSolver
+    verts, faces = make_cloth(nx=8, ny=8, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+    state = dataclasses.replace(state, v=state.v + 0.3)
+    stress = jnp.zeros((cfg.n_no_vertices, 3, 3))
+    vf = jnp.zeros((cfg.n_vertices, 3))
+    a, am = ct.p2g_columns(cfg, state, stress, vf, 64)
+    b, bm = ct.p2g_columns(cfg, state, stress, vf, 64, bf16=True)
+    scale = float(jnp.abs(a).max())
+    rel = float(jnp.abs(a - b).max()) / scale
+    assert rel < 2e-2                      # within bf16 rounding
+    assert float(jnp.abs(a - b).max()) > 0.0   # flag engaged
+
+    s = MPMSolver(cfg, column_k=64, faces=faces, column_bf16=True)
+    st, _ = s.frame(state, model, 2e-4, 6, 0.0)
+    assert np.isfinite(np.asarray(st.x)).all()
