@@ -376,6 +376,32 @@ def set_E_nu(model: MPMModel, E=None, nu=None, gamma=None, kappa=None,
     return finalize_mu_lam(model) if finalize else model
 
 
+def set_parameters_in_box(model: MPMModel, state: MPMState, point, size,
+                          E=None, nu=None, density=None):
+    """Region-box material override: particles inside the axis-aligned
+    box [point-size, point+size] get new E/nu/density (+mass refresh);
+    mu/lam are re-finalized when E/nu change.  Port of
+    apply_additional_params (mpm_utils.py:1175-1193)."""
+    pt = jnp.asarray(point, state.x.dtype)
+    sz = jnp.asarray(size, state.x.dtype)
+    inside = jnp.all(jnp.abs(state.x - pt) < sz, axis=-1)
+    mupd = {}
+    if E is not None:
+        mupd["E"] = jnp.where(inside, jnp.asarray(E, model.E.dtype),
+                              model.E)
+    if nu is not None:
+        mupd["nu"] = jnp.where(inside, jnp.asarray(nu, model.nu.dtype),
+                               model.nu)
+    if mupd:
+        model = finalize_mu_lam(dataclasses.replace(model, **mupd))
+    if density is not None:
+        dens = jnp.where(inside, jnp.asarray(density, state.density.dtype),
+                         state.density)
+        state = dataclasses.replace(state, density=dens,
+                                    mass=dens * state.vol)
+    return model, state
+
+
 def reset_density(state: MPMState, density, update_mass=True) -> MPMState:
     """MPMStateStruct.reset_density (mpm_data_structure.py:434-467)."""
     density = jnp.broadcast_to(jnp.asarray(density, state.density.dtype),

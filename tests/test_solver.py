@@ -113,3 +113,32 @@ def test_validate_state_and_cfl():
     rep = validate_state(bad)
     assert rep.get("v") == 1
     assert cfl_dt(state, solver.cfg) > 0
+
+
+def test_set_parameters_in_box():
+    """Region-box E/nu/density override (apply_additional_params,
+    mpm_utils.py:1175-1193): only particles inside the box change."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_substep_golden import make_cloth, build_pair
+    from mpmavatar_tpu.sim import set_parameters_in_box
+    verts, faces = make_cloth(nx=6, ny=6, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+    model2, state2 = set_parameters_in_box(
+        model, state, point=[1.0, 1.1, 1.0], size=[0.1, 0.2, 0.1],
+        E=900.0, nu=0.45, density=2.5)
+    x = np.asarray(state.x)
+    inside = np.all(np.abs(x - np.array([1.0, 1.1, 1.0]))
+                    < np.array([0.1, 0.2, 0.1]), -1)
+    assert inside.any() and not inside.all()
+    E2 = np.asarray(model2.E)
+    np.testing.assert_allclose(E2[inside], 900.0)
+    np.testing.assert_allclose(E2[~inside], np.asarray(model.E)[~inside])
+    # mu/lam refreshed to match new E inside
+    mu_expect = 900.0 / (2.0 * (1.0 + 0.45))
+    np.testing.assert_allclose(np.asarray(model2.mu)[inside], mu_expect,
+                               rtol=1e-6)
+    d2 = np.asarray(state2.density)
+    np.testing.assert_allclose(d2[inside], 2.5)
+    np.testing.assert_allclose(np.asarray(state2.mass),
+                               d2 * np.asarray(state.vol))
