@@ -516,7 +516,8 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
-                          "column_radius", "column_bf16"))
+                          "column_radius", "column_bf16",
+                          "column_gather"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -533,6 +534,7 @@ def p2g2p(cfg: MPMStaticConfig,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
           column_bf16: bool = False,
+          column_gather: bool = True,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
@@ -585,7 +587,9 @@ def p2g2p(cfg: MPMStaticConfig,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         bins = (column_bins if column_bins is not None else
-                _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap))
+                _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap,
+                               radius=(column_radius if column_gather
+                                       else None)))
         geom = _ct.pack_geometry(cfg, state.x, bins, radius=column_radius)
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping

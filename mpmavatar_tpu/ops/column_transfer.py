@@ -43,6 +43,10 @@ class ColumnBins(NamedTuple):
     cidx_of_p: jnp.ndarray   # (P,) active-column index of each particle
     rank_of_p: jnp.ndarray   # (P,) slot of each particle (may be >= K)
     overflow: jnp.ndarray    # () int32: particles dropped (slot or col cap)
+    # gather-accumulate tables (built when build_bins gets a radius):
+    ex_col: Optional[jnp.ndarray] = None   # (Ce,) expanded col ids
+    ex_src: Optional[jnp.ndarray] = None   # (Ce, S) active-col index or C
+    ex_overflow: Optional[jnp.ndarray] = None  # () int32 dropped columns
 
 
 def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
@@ -51,9 +55,16 @@ def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
 
 
 def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
-               c_cap: Optional[int] = None) -> ColumnBins:
+               c_cap: Optional[int] = None,
+               radius: Optional[int] = None,
+               exp_cap: Optional[int] = None) -> ColumnBins:
     """Sort-and-pack points by (x, y) base-cell column, compacted to the
-    occupied columns."""
+    occupied columns.
+
+    With ``radius`` given, also builds the gather-accumulate tables
+    (expanded column set = active set dilated by the shift window, and a
+    per-shift source index) so P2G can replace its S row-scatters with
+    row gathers — XLA scatter is ~8x slower per row than gather on TPU."""
     G = cfg.n_grid
     P = x.shape[0]
     if c_cap is None:
@@ -94,9 +105,40 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     rank_of_p = rank_sorted[inv_perm]
     rank_of_p = jnp.where(col_ok, rank_of_p, K + 1)
     overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
-    return ColumnBins(active_col=active_col, pid=pid, valid=valid,
+    bins = ColumnBins(active_col=active_col, pid=pid, valid=valid,
                       cidx_of_p=cidx_clipped,
                       rank_of_p=rank_of_p, overflow=overflow)
+    if radius is None:
+        return bins
+    if exp_cap is None:
+        exp_cap = min(G * G, 2 * c_cap)
+    targets = _shift_columns(bins, G, radius)         # (C, S)
+    cand = jnp.sort(targets.reshape(-1))              # sentinels sort last
+    uniq_flags = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (cand[1:] != cand[:-1]).astype(jnp.int32)])
+    uniq_flags = jnp.where(cand >= G * G, 0, uniq_flags)
+    uniq_id = jnp.cumsum(uniq_flags) - 1
+    n_uniq = uniq_id[-1] + 1
+    first = jnp.searchsorted(uniq_id, jnp.arange(exp_cap))
+    in_range = jnp.arange(exp_cap) < n_uniq
+    ex_col = jnp.where(in_range,
+                       cand[jnp.clip(first, 0, cand.shape[0] - 1)], G * G)
+    ex_cx, ex_cy = ex_col // G, ex_col % G
+    srcs = []
+    for (i, j) in shift_set(radius):
+        sx = ex_cx - i
+        sy = ex_cy - j
+        ok = ((ex_col < G * G) & (sx >= 0) & (sy >= 0)
+              & (sx < G) & (sy < G))
+        src_id = sx * G + sy
+        idx = jnp.clip(jnp.searchsorted(active_col, src_id), 0, c_cap - 1)
+        ok = ok & (active_col[idx] == src_id)
+        srcs.append(jnp.where(ok, idx, c_cap))
+    ex_src = jnp.stack(srcs, 1).astype(jnp.int32)
+    ex_overflow = jnp.maximum(n_uniq - exp_cap, 0).astype(jnp.int32)
+    return bins._replace(ex_col=ex_col, ex_src=ex_src,
+                         ex_overflow=ex_overflow)
 
 
 def _packed_gather(arr, pid, fill=0.0):
@@ -223,9 +265,23 @@ def _shift_columns(bins: ColumnBins, G: int, radius: int = 1):
 
 
 def _scatter_columns(out, bins, G, n_ch, radius: int = 1):
-    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid
-    via S row scatters of C rows each (row-serial scatter cost is bounded
-    by the active-column cap, not the particle count)."""
+    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid.
+
+    With gather tables on ``bins`` (build_bins(..., radius=r)): gather
+    each expanded column's <=S contributing source columns and do ONE
+    C_e-row scatter of unique rows; otherwise fall back to S row
+    scatters of C rows each (row-serial scatter cost is bounded by the
+    active-column cap, not the particle count)."""
+    if bins.ex_src is not None:
+        S = out.shape[-1]
+        out_pad = jnp.concatenate(
+            [out, jnp.zeros((1,) + out.shape[1:], out.dtype)], 0)
+        acc = out_pad[bins.ex_src[:, 0], :, :, 0]
+        for s in range(1, S):
+            acc = acc + out_pad[bins.ex_src[:, s], :, :, s]
+        grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
+        grid = grid.at[bins.ex_col].add(acc, mode="drop")
+        return grid[:G * G]
     targets = _shift_columns(bins, G, radius)
     grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
     for s in range(targets.shape[1]):

@@ -47,7 +47,8 @@ class MPMSolver:
     def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
-                 rebin_every: int = 1, column_bf16: bool = False):
+                 rebin_every: int = 1, column_bf16: bool = False,
+                 column_gather: bool = True):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -60,6 +61,7 @@ class MPMSolver:
         self.column_radius = column_radius
         self.rebin_every = rebin_every
         self.column_bf16 = column_bf16
+        self.column_gather = column_gather
         if rebin_every > 1:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
@@ -231,6 +233,7 @@ class MPMSolver:
                               column_c_cap=self.column_c_cap,
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
+                              column_gather=self.column_gather,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -254,8 +257,10 @@ class MPMSolver:
                 from ..ops import column_transfer as _ct
                 bins = jax.lax.cond(
                     s % self.rebin_every == 0,
-                    lambda x: _ct.build_bins(x, cfg, self.column_k,
-                                             c_cap=self.column_c_cap),
+                    lambda x: _ct.build_bins(
+                        x, cfg, self.column_k, c_cap=self.column_c_cap,
+                        radius=(self.column_radius if self.column_gather
+                                else None)),
                     lambda x: bins, st.x)
             else:
                 st, t = carry
@@ -275,6 +280,7 @@ class MPMSolver:
                                 column_c_cap=self.column_c_cap,
                                 column_radius=self.column_radius,
                                 column_bf16=self.column_bf16,
+                                column_gather=self.column_gather,
                                 column_bins=bins,
                                 vf_incidence=self.vf_incidence, **kw)
             if amortized:
@@ -285,8 +291,10 @@ class MPMSolver:
             body = jax.checkpoint(body, prevent_cse=False)
         if amortized:
             from ..ops import column_transfer as _ct
-            bins0 = _ct.build_bins(state.x, cfg, self.column_k,
-                                   c_cap=self.column_c_cap)
+            bins0 = _ct.build_bins(
+                state.x, cfg, self.column_k, c_cap=self.column_c_cap,
+                radius=(self.column_radius if self.column_gather
+                        else None))
             (state, time, _), _ = jax.lax.scan(
                 body, (state, jnp.float32(time0), bins0),
                 jnp.arange(num_substeps))

@@ -262,3 +262,21 @@ def test_bf16_transfer_mode():
     s = MPMSolver(cfg, column_k=64, faces=faces, column_bf16=True)
     st, _ = s.frame(state, model, 2e-4, 6, 0.0)
     assert np.isfinite(np.asarray(st.x)).all()
+
+
+def test_gather_accumulate_frame_parity():
+    """column_gather=True (gather-accumulate P2G) reproduces the scatter
+    path bitwise over a multi-substep frame, incl. amortized rebinning."""
+    from mpmavatar_tpu.sim import MPMSolver
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+
+    def run(**kw):
+        s = MPMSolver(cfg, column_k=64, faces=faces, **kw)
+        st, _ = s.frame(state, model, 2e-4, 10, 0.0)
+        return np.asarray(st.x)
+
+    for kw in ({}, {"column_radius": 2, "rebin_every": 4}):
+        a = run(column_gather=False, **kw)
+        g = run(column_gather=True, **kw)
+        np.testing.assert_allclose(g, a, atol=1e-7)
