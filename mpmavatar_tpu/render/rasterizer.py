@@ -207,13 +207,17 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)   # (T,P,C)
 
-        one_m = 1.0 - alpha
-        cum = jnp.cumprod(one_m, axis=-1)
-        excl = jnp.concatenate([jnp.ones_like(cum[..., :1]),
-                                cum[..., :-1]], axis=-1)
+        # exclusive prod_{c'<c}(1-alpha) via log -> strict-lower-tri
+        # matmul -> exp: one MXU pass instead of a multi-pass cumprod
+        # scan (alpha <= 0.99 keeps log well-conditioned).
+        log1m = jnp.log1p(-alpha)
+        c_n = alpha.shape[-1]
+        tri = jnp.triu(jnp.ones((c_n, c_n), alpha.dtype), 1)  # c' < c
+        excl_log = jnp.einsum("tpc,cd->tpd", log1m, tri)
+        excl = jnp.exp(excl_log)
         w = alpha * excl * trans[..., None]                # (T,P,C)
         accum = accum + jnp.einsum("tpc,tcn->tpn", w, col)
-        trans = trans * cum[..., -1]
+        trans = trans * jnp.exp(excl_log[..., -1] + log1m[..., -1])
         return (accum, trans), None
 
     p = TILE * TILE

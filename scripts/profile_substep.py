@@ -65,6 +65,7 @@ def main():
     vf_inc = jnp.asarray(ct.build_vertex_incidence(faces, cfg.n_vertices))
 
     bins = ct.build_bins(state.x, cfg, K, c_cap=CAP)
+    binsg = ct.build_bins(state.x, cfg, K, c_cap=CAP, radius=1)
     geom = ct.pack_geometry(cfg, state.x, bins)
     st1 = solver.substep(state, model, dt, 0.0, mesh_x=mesh_x,
                          mesh_v=mesh_v, joint_verts_v=jv, joint_faces_v=jf)
@@ -90,14 +91,24 @@ def main():
         return ms
 
     timeit("bins", lambda xx: ct.build_bins(xx, cfg, K, c_cap=CAP), state.x)
+    timeit("bins_g", lambda xx: ct.build_bins(xx, cfg, K, c_cap=CAP,
+                                              radius=1), state.x)
     timeit("geom", lambda xx: ct.pack_geometry(cfg, xx, bins), state.x)
     timeit("stress",
            lambda st: stepping.compute_stress(cfg, st, model, dt,
                                               vf_incidence=vf_inc)[3], state)
-    timeit("p2g",
+    timeit("p2g_scat",
            lambda s_, v_: ct.p2g_columns(
                cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
                bins=bins, geom=geom), stress, vforce)
+    timeit("p2g_gath",
+           lambda s_, v_: ct.p2g_columns(
+               cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
+               bins=binsg, geom=geom), stress, vforce)
+    timeit("p2g_bf16",
+           lambda s_, v_: ct.p2g_columns(
+               cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
+               bins=binsg, geom=geom, bf16=True), stress, vforce)
     timeit("g2p",
            lambda g_: ct.g2p_columns(cfg, state, g_, K, bins=bins,
                                      geom=geom), gv)
