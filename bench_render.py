@@ -39,7 +39,8 @@ def main():
 
     def render(xyz):
         out = rasterize(xyz, colors, opac, cov3d, ca, jnp.zeros(3),
-                        width=w, height=h, tile_capacity=512)
+                        width=w, height=h, tile_capacity=512,
+                        tile_capacity_lo=64, hot_tiles=1024)
         return out["render"]
 
     rj = jax.jit(render)

@@ -534,7 +534,7 @@ def p2g2p(cfg: MPMStaticConfig,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
           column_bf16: bool = False,
-          column_gather: bool = True,
+          column_gather: bool = False,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).

@@ -35,7 +35,8 @@ def render(cam: Camera, params: G.GaussianParams,
            frames: Optional[G.FaceFrames], bg_color,
            active_sh_degree: int = 0, scaling_modifier: float = 1.0,
            override_color=None, extra=None, means2d_offset=None,
-           tile_capacity: int = 512):
+           tile_capacity: int = 512, tile_capacity_lo: int = 0,
+           hot_tiles: int = 0):
     """gaussian_renderer/__init__.py:18-111 equivalent.
 
     ``extra`` = (xyz, colors, opacity, scales_log?, cov3d) tuple of
@@ -69,6 +70,8 @@ def render(cam: Camera, params: G.GaussianParams,
                     jnp.asarray(bg_color, jnp.float32),
                     width=cam.image_width, height=cam.image_height,
                     means2d_offset=means2d_offset,
-                    tile_capacity=tile_capacity)
+                    tile_capacity=tile_capacity,
+                    tile_capacity_lo=tile_capacity_lo,
+                    hot_tiles=hot_tiles)
     out["mask"] = out["alpha"]
     return out

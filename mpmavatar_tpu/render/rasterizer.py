@@ -164,8 +164,15 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
 
 
 def _composite(table, means2d, conic, colors, opacities, width, height,
-               bg, chunk: int = 32):
+               bg, chunk: int = 32, cap_lo: int = 0, hot_tiles: int = 0):
     """Front-to-back alpha compositing over the tile table.
+
+    With ``0 < cap_lo < cap``: every tile composites only its first
+    ``cap_lo`` table entries; the ``hot_tiles`` fullest tiles continue
+    (carrying transmittance, so ordering is preserved) through the rest.
+    Cuts per-frame work from T*cap to T*cap_lo + H*(cap-cap_lo) — the
+    dense-tile tail is rare (reference CUDA rasterizer handles this with
+    per-tile dynamic ranges + early termination, diff_gauss forward).
 
     Returns (image (3,H,W), alpha (1,H,W))."""
     num_tiles, cap = table.shape
@@ -188,9 +195,14 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
     pix_x = tile_x0[:, None] + px.reshape(-1)[None, :]
     pix_y = tile_y0[:, None] + py.reshape(-1)[None, :]
-    pix = jnp.stack([pix_x, pix_y], -1).astype(means2d.dtype)  # (T,P,2)
+    pix_all = jnp.stack([pix_x, pix_y], -1).astype(means2d.dtype)  # (T,P,2)
 
-    def chunk_step(carry, idx_chunk):
+    # NOTE: the scan body must be created per pixel-set — lax.scan caches
+    # the traced body by function identity, so a closure whose free
+    # variable is rebound between two scans would silently reuse the
+    # first trace.
+    def make_chunk_step(pix):
+      def chunk_step(carry, idx_chunk):
         accum, trans = carry                      # (T,P,nc), (T,P)
         ids = idx_chunk                           # (T,C)
         m = means2d_p[ids]                        # (T,C,2)
@@ -219,12 +231,30 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
         accum = accum + jnp.einsum("tpc,tcn->tpn", w, col)
         trans = trans * jnp.exp(excl_log[..., -1] + log1m[..., -1])
         return (accum, trans), None
+      return chunk_step
 
     p = TILE * TILE
     accum0 = jnp.zeros((num_tiles, p, nc), means2d.dtype)
     trans0 = jnp.ones((num_tiles, p), means2d.dtype)
-    chunks = table.reshape(num_tiles, cap // chunk, chunk).swapaxes(0, 1)
-    (accum, trans), _ = jax.lax.scan(chunk_step, (accum0, trans0), chunks)
+    two_tier = 0 < cap_lo < cap and hot_tiles > 0
+    cap1 = cap_lo if two_tier else cap
+    chunks = table[:, :cap1].reshape(num_tiles, cap1 // chunk,
+                                     chunk).swapaxes(0, 1)
+    (accum, trans), _ = jax.lax.scan(make_chunk_step(pix_all),
+                                     (accum0, trans0), chunks)
+    if two_tier:
+        counts_lo = jnp.sum(table[:, :cap] < n, axis=1)
+        hot = jnp.argsort(-counts_lo)[:hot_tiles]          # fullest tiles
+        table_h = table[hot, cap_lo:]
+        pad = (-table_h.shape[1]) % chunk
+        if pad:
+            table_h = jnp.concatenate(
+                [table_h, jnp.full((hot_tiles, pad), n, table.dtype)], 1)
+        chunks_h = table_h.reshape(hot_tiles, -1, chunk).swapaxes(0, 1)
+        (acc_h, tr_h), _ = jax.lax.scan(make_chunk_step(pix_all[hot]),
+                                        (accum[hot], trans[hot]), chunks_h)
+        accum = accum.at[hot].set(acc_h)
+        trans = trans.at[hot].set(tr_h)
 
     img = accum + trans[..., None] * bg[None, None, :nc]
     # (T, P, nc) -> (nc, H, W) — crop tile padding
@@ -240,17 +270,22 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
-                                   "max_tiles_per_gauss", "chunk"))
+                                   "max_tiles_per_gauss", "chunk",
+                                   "tile_capacity_lo", "hot_tiles"))
 def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
               bg, width: int, height: int, means2d_offset=None,
               tile_capacity: int = 512, max_tiles_per_gauss: int = 36,
-              chunk: int = 32):
+              chunk: int = 32, tile_capacity_lo: int = 0,
+              hot_tiles: int = 0):
     """Full differentiable splatting pass.
 
     ``means2d_offset`` (N,2), normally zeros, is added to the projected 2D
     means — differentiate the loss w.r.t. it to get the view-space
     positional gradients the densification heuristic needs
     (gaussian_renderer/__init__.py:26-29, gaussian_model.py:524-526).
+
+    ``tile_capacity_lo``/``hot_tiles`` enable two-tier compositing (see
+    _composite) — large-frame speed knob; 0 disables.
 
     Returns dict(render (3,H,W), alpha (1,H,W), radii (N,), depth (N,)).
     """
@@ -262,6 +297,7 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
                                       width, height, max_tiles_per_gauss,
                                       tile_capacity)
     img, alpha = _composite(table, means2d, conic, colors, opacities,
-                            width, height, bg, chunk=chunk)
+                            width, height, bg, chunk=chunk,
+                            cap_lo=tile_capacity_lo, hot_tiles=hot_tiles)
     return {"render": img, "alpha": alpha, "radii": radius,
             "depth": depth, "tile_counts": counts}

@@ -48,7 +48,7 @@ class MPMSolver:
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 column_gather: bool = True):
+                 column_gather: bool = False):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based

@@ -161,3 +161,30 @@ def test_extra_gaussians_path():
                   active_sh_degree=0)
     img2 = np.asarray(out2["render"])
     assert img2[0, 31, 31] < 0.1    # without extra: no red
+
+
+def test_two_tier_compositing_matches_full():
+    """tile_capacity_lo + hot_tiles two-tier path is exact when the hot
+    set covers every tile denser than the low capacity."""
+    rng = np.random.default_rng(3)
+    n = 1500
+    xyz = jnp.asarray(rng.normal(0, 0.3, (n, 3)).astype(np.float32))
+    colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    opac = jnp.asarray((0.3 + 0.6 * rng.random(n)).astype(np.float32))
+    cov = iso_cov(n, 0.02)
+    cam = simple_camera()
+    ca = camera_arrays(cam)
+    full = rasterize(xyz, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                     tile_capacity=256)
+    two = rasterize(xyz, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                    tile_capacity=256, tile_capacity_lo=32, hot_tiles=16)
+    np.testing.assert_allclose(np.asarray(two["render"]),
+                               np.asarray(full["render"]), atol=1e-5)
+
+    def loss(m):
+        o = rasterize(m, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                      tile_capacity=256, tile_capacity_lo=32, hot_tiles=16)
+        return jnp.sum(o["render"] ** 2)
+
+    g = jax.grad(loss)(xyz)
+    assert np.isfinite(np.asarray(g)).all()
