@@ -48,7 +48,7 @@ class MPMSolver:
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 column_gather: bool = False):
+                 column_gather: bool = False, rebin_auto: bool = False):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -60,9 +60,10 @@ class MPMSolver:
         self.column_c_cap = column_c_cap
         self.column_radius = column_radius
         self.rebin_every = rebin_every
+        self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
         self.column_gather = column_gather
-        if rebin_every > 1:
+        if rebin_every > 1 or rebin_auto:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
         self.vf_incidence = None
@@ -249,19 +250,29 @@ class MPMSolver:
         linearly in-scan (train_material_params.py:622-626)."""
         cfg, colliders = self.cfg, self.colliders
 
-        amortized = self.column_k > 0 and self.rebin_every > 1
+        amortized = self.column_k > 0 and (self.rebin_every > 1
+                                           or self.rebin_auto)
+        # drift bound: binning stays valid while every particle is within
+        # (radius-1) cells of its binned column; rebuild at 60% of that.
+        drift_lim = 0.6 * max(self.column_radius - 1, 0) * cfg.dx
+
+        def _rebuild(x):
+            from ..ops import column_transfer as _ct
+            return _ct.build_bins(
+                x, cfg, self.column_k, c_cap=self.column_c_cap,
+                radius=(self.column_radius if self.column_gather
+                        else None))
 
         def body(carry, s):
             if amortized:
-                st, t, bins = carry
-                from ..ops import column_transfer as _ct
-                bins = jax.lax.cond(
-                    s % self.rebin_every == 0,
-                    lambda x: _ct.build_bins(
-                        x, cfg, self.column_k, c_cap=self.column_c_cap,
-                        radius=(self.column_radius if self.column_gather
-                                else None)),
-                    lambda x: bins, st.x)
+                st, t, bins, x_ref = carry
+                if self.rebin_auto:
+                    drift = jnp.max(jnp.abs(st.x[:, :2] - x_ref[:, :2]))
+                    need = drift > drift_lim
+                else:
+                    need = s % self.rebin_every == 0
+                bins = jax.lax.cond(need, _rebuild, lambda x: bins, st.x)
+                x_ref = jnp.where(need, st.x, x_ref)
             else:
                 st, t = carry
                 bins = None
@@ -284,19 +295,15 @@ class MPMSolver:
                                 column_bins=bins,
                                 vf_incidence=self.vf_incidence, **kw)
             if amortized:
-                return (st, t + dt, bins), None
+                return (st, t + dt, bins, x_ref), None
             return (st, t + dt), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         if amortized:
-            from ..ops import column_transfer as _ct
-            bins0 = _ct.build_bins(
-                state.x, cfg, self.column_k, c_cap=self.column_c_cap,
-                radius=(self.column_radius if self.column_gather
-                        else None))
-            (state, time, _), _ = jax.lax.scan(
-                body, (state, jnp.float32(time0), bins0),
+            bins0 = _rebuild(state.x)
+            (state, time, _, _), _ = jax.lax.scan(
+                body, (state, jnp.float32(time0), bins0, state.x),
                 jnp.arange(num_substeps))
         else:
             (state, time), _ = jax.lax.scan(

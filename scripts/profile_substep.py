@@ -97,21 +97,20 @@ def main():
     timeit("stress",
            lambda st: stepping.compute_stress(cfg, st, model, dt,
                                               vf_incidence=vf_inc)[3], state)
-    timeit("p2g_scat",
-           lambda s_, v_: ct.p2g_columns(
-               cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
-               bins=bins, geom=geom), stress, vforce)
-    timeit("p2g_gath",
-           lambda s_, v_: ct.p2g_columns(
-               cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
-               bins=binsg, geom=geom), stress, vforce)
+    def _p2g(st_, b_, g_, s_, v_, **kw):
+        return ct.p2g_columns(cfg, st_, dt * sel[:nnv, None, None] * s_,
+                              dt * v_, K, bins=b_, geom=g_, **kw)
+
+    timeit("p2g_scat", _p2g, state, bins, geom, stress, vforce)
+    timeit("p2g_gath", _p2g, state, binsg, geom, stress, vforce)
     timeit("p2g_bf16",
-           lambda s_, v_: ct.p2g_columns(
-               cfg, state, dt * sel[:nnv, None, None] * s_, dt * v_, K,
-               bins=binsg, geom=geom, bf16=True), stress, vforce)
+           lambda st_, b_, g_, s_, v_: _p2g(st_, b_, g_, s_, v_,
+                                            bf16=True),
+           state, binsg, geom, stress, vforce)
     timeit("g2p",
-           lambda g_: ct.g2p_columns(cfg, state, g_, K, bins=bins,
-                                     geom=geom), gv)
+           lambda st_, b_, gm_, g_: ct.g2p_columns(cfg, st_, g_, K,
+                                                   bins=b_, geom=gm_),
+           state, bins, geom, gv)
     timeit("substep",
            lambda st: solver.substep(st, model, dt, 0.0, mesh_x=mesh_x,
                                      mesh_v=mesh_v, joint_verts_v=jv,

@@ -142,3 +142,23 @@ def test_set_parameters_in_box():
     np.testing.assert_allclose(d2[inside], 2.5)
     np.testing.assert_allclose(np.asarray(state2.mass),
                                d2 * np.asarray(state.vol))
+
+
+def test_rebin_auto_matches_exact():
+    """Drift-based adaptive rebinning (rebin_auto) is exact while drift
+    stays under the radius bound."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_substep_golden import make_cloth, build_pair
+    from mpmavatar_tpu.sim import MPMSolver
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=200.0)
+
+    def run(**kw):
+        s = MPMSolver(cfg, column_k=64, faces=faces, **kw)
+        st, _ = s.frame(state, model, 2e-4, 16, 0.0)
+        return np.asarray(st.x)
+
+    a = run()
+    b = run(column_radius=2, rebin_auto=True)
+    np.testing.assert_allclose(b, a, atol=1e-7)
