@@ -74,7 +74,7 @@ def main():
 
     body_v, body_f = build_body_sphere()
     solver = MPMSolver(cfg, column_k=48, mesh_column_k=32, faces=faces,
-                       column_c_cap=4096, column_radius=2, rebin_every=5)
+                       column_c_cap=4096, column_radius=2, rebin_auto=True)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()

@@ -324,13 +324,22 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
 
     if geom is None:
         geom = pack_geometry(cfg, state.x, bins, radius=radius)
-    pv = _packed_gather(state.v, pid)
-    pC = _packed_gather(state.C if c_eff is None else c_eff, pid)
-    pmass = _packed_gather(mass, pid) * valid
-    psel = _packed_gather(sel, pid) * valid
-    pstress = _packed_gather(stress_eff, pid)
-    pvf = _packed_gather(vforce, pid)
-    pisv = _packed_gather(is_vertex, pid)
+    # ONE fused (C, K)-row gather of all per-particle attributes —
+    # TPU gathers are row-latency-bound, so 7 separate gathers of the
+    # same 196k slots cost ~7x one 27-wide gather.
+    attr = jnp.concatenate(
+        [state.v,
+         (state.C if c_eff is None else c_eff).reshape(P, 9),
+         mass[:, None], sel[:, None],
+         stress_eff.reshape(P, 9), vforce, is_vertex[:, None]], axis=1)
+    pattr = _packed_gather(attr, pid)                    # (C, K, 27)
+    pv = pattr[..., 0:3]
+    pC = pattr[..., 3:12].reshape(pattr.shape[:2] + (3, 3))
+    pmass = pattr[..., 12] * valid
+    psel = pattr[..., 13] * valid
+    pstress = pattr[..., 14:23].reshape(pattr.shape[:2] + (3, 3))
+    pvf = pattr[..., 23:26]
+    pisv = pattr[..., 26]
 
     zb = geom.zb
     wxy, dxwy, wxdy, dpx, dpy = (geom.wxy, geom.dxwy, geom.wxdy,
@@ -445,12 +454,14 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
     rank = jnp.clip(bins.rank_of_p, 0, K - 1)
     in_table = (bins.rank_of_p < K)
 
-    def unpack(packed):
-        vals = packed[cidx, rank]
-        return jnp.where(in_table.reshape((P,) + (1,) * (vals.ndim - 1)),
-                         vals, 0.0)
-
-    return unpack(new_v), unpack(new_c), unpack(grad_v)
+    # one fused (P,)-row unpack gather (v 3 + C 9 + grad 9 = 21 wide)
+    packed = jnp.concatenate(
+        [new_v, new_c.reshape(C_cap, K, 9), grad_v.reshape(C_cap, K, 9)],
+        axis=-1)
+    vals = packed[cidx, rank]
+    vals = jnp.where(in_table[:, None], vals, 0.0)
+    return (vals[:, 0:3], vals[:, 3:12].reshape(P, 3, 3),
+            vals[:, 12:21].reshape(P, 3, 3))
 
 
 @partial(jax.jit, static_argnums=(0, 3))

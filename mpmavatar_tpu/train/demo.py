@@ -110,7 +110,9 @@ def build_demo_sim(cloth_verts0, cloth_faces, sand_xyz, sand_vol,
                    collider_verts, collider_faces, tf: SimTransform,
                    grid_size=250, num_joint_v=0, num_joint_f=0,
                    mesh_friction=0.5, friction_angle=40.0,
-                   density=1.0, E=200.0, nu=0.3, gamma=500.0, kappa=500.0):
+                   density=1.0, E=200.0, nu=0.3, gamma=500.0, kappa=500.0,
+                   column_k=64, mesh_column_k=32, column_c_cap=8192,
+                   column_radius=2, rebin_auto=True):
     """Mixed cloth + sand simulation setup (run_demo.py:219-379):
     elements/vertices = garment, traditional = sand (Drucker-Prager),
     collider = SMPL-X + tracked human + chair, sticky floor at y=0.1."""
@@ -138,7 +140,12 @@ def build_demo_sim(cloth_verts0, cloth_faces, sand_xyz, sand_vol,
         "friction_angle": friction_angle})
     state = reset_density(state, density)
 
-    solver = MPMSolver(cfg)
+    solver = MPMSolver(cfg, column_k=column_k,
+                       mesh_column_k=mesh_column_k,
+                       column_c_cap=(column_c_cap or None),
+                       column_radius=column_radius,
+                       rebin_auto=rebin_auto and column_k > 0,
+                       faces=faces)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(collider_faces, friction=mesh_friction)
     solver.add_particle_mover()

@@ -49,6 +49,12 @@ class MaterialTrainerConfig:
     lr_H: float = 1e-2
     iterations: int = 200
     thickness: float = 1e-5
+    # TPU transfer-path knobs (0 = slow reference-semantics scatter path)
+    column_k: int = 48
+    mesh_column_k: int = 32
+    column_c_cap: int = 4096
+    column_radius: int = 2
+    rebin_auto: bool = True
 
 
 class MaterialTrainer:
@@ -102,7 +108,13 @@ class MaterialTrainer:
             nu=cfg.init_nu, gamma=cfg.init_gamma, kappa=cfg.init_kappa,
             friction_angle=cfg.friction_angle)
 
-        self.solver = MPMSolver(self.static)
+        self.solver = MPMSolver(
+            self.static, column_k=cfg.column_k,
+            mesh_column_k=cfg.mesh_column_k,
+            column_c_cap=(cfg.column_c_cap or None),
+            column_radius=cfg.column_radius,
+            rebin_auto=cfg.rebin_auto and cfg.column_k > 0,
+            faces=self.faces)
         self.solver.add_mesh_collider(self.smplx_faces,
                                       friction=cfg.mesh_friction_coeff)
         self.solver.add_particle_mover()

@@ -111,6 +111,21 @@ def main():
            lambda st_, b_, gm_, g_: ct.g2p_columns(cfg, st_, g_, K,
                                                    bins=b_, geom=gm_),
            state, bins, geom, gv)
+    # raw einsum layout A/B: is the small minor output dim starving
+    # the MXU?  (m=K*3=144, z=G=128, n=4S / S*3)
+    import numpy as _np
+    rngp = _np.random.default_rng(0)
+    zmat = jnp.asarray(rngp.normal(size=(CAP, K * 3, 128)).astype(_np.float32))
+    coef = jnp.asarray(rngp.normal(size=(CAP, K * 3, 36)).astype(_np.float32))
+    gall = jnp.asarray(rngp.normal(size=(CAP, 128, 27)).astype(_np.float32))
+    timeit("e_p2g_zn", lambda a, b: jnp.einsum("cmz,cmn->czn", a, b),
+           zmat, coef)
+    timeit("e_p2g_nz", lambda a, b: jnp.einsum("cmz,cmn->cnz", a, b),
+           zmat, coef)
+    timeit("e_g2p_mn", lambda a, b: jnp.einsum("cmz,czn->cmn", a, b),
+           zmat, gall)
+    timeit("e_g2p_nm", lambda a, b: jnp.einsum("cmz,czn->cnm", a, b),
+           zmat, gall)
     timeit("substep",
            lambda st: solver.substep(st, model, dt, 0.0, mesh_x=mesh_x,
                                      mesh_v=mesh_v, joint_verts_v=jv,
