@@ -166,6 +166,15 @@ def anisotropy_return_mapping(d, gamma, kappa, friction_coeff):
 
     Updates only the third column (d3) of d."""
     q, r = linalg.qr3_pos(d)
+    col3, d3 = map_r_col3(q, r, gamma, kappa, friction_coeff)
+    return d.at[..., :, 2].set(d3)
+
+
+def map_r_col3(q, r, gamma, kappa, friction_coeff):
+    """Return-map core on a precomputed QR: new R column 3 and the mapped
+    d3 = Q @ col3.  Q and R columns 1-2 are unchanged by the map (it only
+    edits d3, and Q is built from d1, d2), so one QR serves both the
+    return map and the stress evaluation."""
     r13, r23, r33 = r[..., 0, 2], r[..., 1, 2], r[..., 2, 2]
 
     separated = r33 > 1.0
@@ -184,7 +193,7 @@ def anisotropy_return_mapping(d, gamma, kappa, friction_coeff):
 
     col3 = jnp.stack([new_r13, new_r23, new_r33], axis=-1)
     d3 = jnp.einsum("...ij,...j->...i", q, col3)
-    return d.at[..., :, 2].set(d3)
+    return col3, d3
 
 
 def anisotropic_stress(r_inv, d, vol, mu, lam, gamma, kappa):
@@ -196,8 +205,14 @@ def anisotropic_stress(r_inv, d, vol, mu, lam, gamma, kappa):
 
     Returns (stress (E,3,3) = vol*outer(P3, d3), f1, f2, f3 each (E,3)).
     """
+    q, r = linalg.qr3_pos(d)
+    return anisotropic_stress_qr(r_inv, q, r, d[..., :, 2], vol,
+                                 mu, lam, gamma, kappa)
+
+
+def anisotropic_stress_qr(r_inv, q, r, d3, vol, mu, lam, gamma, kappa):
+    """anisotropic_stress on a precomputed QR of d (see map_r_col3)."""
     i11, i12, i22 = r_inv[..., 0], r_inv[..., 1], r_inv[..., 2]
-    _, r = linalg.qr3_pos(d)
 
     f11 = r[..., 0, 0] * i11
     f12 = r[..., 0, 0] * i12 + r[..., 0, 1] * i22
@@ -239,13 +254,11 @@ def anisotropic_stress(r_inv, d, vol, mu, lam, gamma, kappa):
         jnp.stack([k3[..., 0, 2], k3[..., 1, 2], k3[..., 2, 2]], axis=-1),
     ], axis=-2)
 
-    q, _ = linalg.qr3_pos(d)
     p = q @ k3_sym @ linalg.inverse_lower_triangle(ridt)
     p1 = p[..., :, 0]
     p2 = p[..., :, 1]
     p3 = p[..., :, 2]
 
-    d3 = d[..., :, 2]
     volb = vol[..., None]
     f2 = -volb * (i11[..., None] * p1 + i12[..., None] * p2)
     f3 = -volb * i22[..., None] * p2

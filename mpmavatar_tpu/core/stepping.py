@@ -109,12 +109,22 @@ def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
     # --- element (garment) particles ----------------------------------
     if E > 0:
+        from . import linalg as _la
         sel_e = (state.selection[:E] == 0)
-        d_mapped = constitutive.anisotropy_return_mapping(
-            state.d, model.gamma[:E], model.kappa[:E], model.friction_coeff)
-        new_d = jnp.where(sel_e[:, None, None], d_mapped, state.d)
-        stress_e, f1, f2, f3 = constitutive.anisotropic_stress(
-            state.R_inv, new_d, state.vol[:E],
+        # ONE QR serves both the return map and the stress: the map only
+        # rewrites column 3, which leaves Q and R columns 1-2 unchanged.
+        q_e, r_e = _la.qr3_pos(state.d)
+        col3_m, d3_m = constitutive.map_r_col3(
+            q_e, r_e, model.gamma[:E], model.kappa[:E],
+            model.friction_coeff)
+        col3_0 = jnp.stack([r_e[..., 0, 2], r_e[..., 1, 2],
+                            r_e[..., 2, 2]], axis=-1)
+        col3 = jnp.where(sel_e[:, None], col3_m, col3_0)
+        d3 = jnp.where(sel_e[:, None], d3_m, state.d[..., :, 2])
+        new_d = state.d.at[..., :, 2].set(d3)
+        r_new = r_e.at[..., 0, 2].set(col3[..., 0])                    .at[..., 1, 2].set(col3[..., 1])                    .at[..., 2, 2].set(col3[..., 2])
+        stress_e, f1, f2, f3 = constitutive.anisotropic_stress_qr(
+            state.R_inv, q_e, r_new, d3, state.vol[:E],
             model.mu[:E], model.lam[:E], model.gamma[:E], model.kappa[:E])
         m_e = sel_e[:, None]
         stress_e = jnp.where(m_e[..., None], stress_e, 0.0)
