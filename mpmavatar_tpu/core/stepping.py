@@ -600,7 +600,9 @@ def p2g2p(cfg: MPMStaticConfig,
                 _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap,
                                radius=(column_radius if column_gather
                                        else None)))
-        geom = _ct.pack_geometry(cfg, state.x, bins, radius=column_radius)
+        geom = _ct.pack_geometry(
+            cfg, state.x, bins, radius=column_radius,
+            zb_dtype=(jnp.bfloat16 if column_bf16 else None))
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C

@@ -199,10 +199,15 @@ class PackedGeometry(NamedTuple):
 
 
 def pack_geometry(cfg: MPMStaticConfig, x, bins: ColumnBins,
-                  radius: int = 1) -> "PackedGeometry":
+                  radius: int = 1, zb_dtype=None) -> "PackedGeometry":
     px = _packed_gather(x, bins.pid)
     base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
     zb = _z_bases(px[..., 2], base[..., 2], cfg, cfg.n_grid)
+    if zb_dtype is not None:
+        # bf16 mode: the z-basis is by far the largest per-substep tensor
+        # (C*K*3*G); storing it half-width halves its HBM traffic in both
+        # transfer einsums.
+        zb = zb.astype(zb_dtype)
     G = cfg.n_grid
     col = bins.active_col
     cb = jnp.stack([col // G, col % G], -1)[:, None, :]  # (C, 1, 2)
