@@ -443,17 +443,17 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
     v2 = acc[..., 2, :, :]
 
     inv_dx = cfg.inv_dx
-    # all six S-reductions as ONE batched contraction: weight maps
-    # stacked on a new axis so v0 is read once instead of five times
-    w0 = jnp.stack([wxy, wxy * dpx, wxy * dpy, dxwy, wxdy], -1)  # (C,K,S,5)
-    r0 = jnp.einsum("cksi,cksw->ckwi", v0, w0)           # (C,K,5,3)
-    new_v = r0[..., 0, :]
-    c_xy = jnp.stack([r0[..., 1, :], r0[..., 2, :]], -1)  # (C,K,3,2)
-    c_z = jnp.einsum("cksi,cks->cki", v1, wxy)
+    wxy_e = wxy[..., :, None]
+    new_v = jnp.sum(wxy_e * v0, axis=2)
+    dxy = jnp.stack([dpx, dpy], -1)                      # (C,K,S,2)
+    c_xy = jnp.einsum("cksa,cksb->ckab", wxy_e * v0, dxy)
+    c_z = jnp.sum(wxy_e * v1, axis=2)
     new_c = 4.0 * inv_dx * jnp.concatenate(
         [c_xy, c_z[..., :, None]], axis=-1)
-    gz = jnp.einsum("cksi,cks->cki", v2, wxy)
-    grad_v = jnp.stack([r0[..., 3, :], r0[..., 4, :], gz], axis=-1)
+    gx = jnp.sum(dxwy[..., :, None] * v0, axis=2)
+    gy = jnp.sum(wxdy[..., :, None] * v0, axis=2)
+    gz = jnp.sum(wxy_e * v2, axis=2)
+    grad_v = jnp.stack([gx, gy, gz], axis=-1)
 
     cidx = bins.cidx_of_p
     rank = jnp.clip(bins.rank_of_p, 0, K - 1)
