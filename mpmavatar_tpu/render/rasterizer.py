@@ -142,17 +142,18 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     inst_depth = jnp.broadcast_to(depth[:, None],
                                   (n, offs.shape[0])).reshape(-1)
 
-    # two-pass stable sort -> (tile, depth) order
-    order1 = jnp.argsort(inst_depth)
-    tile_s = tile_id[order1]
-    order2 = jnp.argsort(tile_s, stable=True)
-    order = order1[order2]
-    tile_sorted = tile_id[order]
-    gauss_sorted = gauss_id[order]
+    # one lexicographic (tile, depth) sort via multi-key lax.sort —
+    # half the cost of the classic two-pass argsort emulation
+    tile_sorted, _, gauss_sorted = jax.lax.sort(
+        (tile_id, inst_depth, gauss_id), num_keys=2)
 
-    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_sorted].add(1)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts)[:-1]])
+    # scatter-free tile ranges: tile_sorted is sorted, so per-tile
+    # starts/counts come from searchsorted instead of a row-serial
+    # scatter-add over every instance
+    edges = jnp.searchsorted(tile_sorted,
+                             jnp.arange(num_tiles + 2)).astype(jnp.int32)
+    counts = edges[1:] - edges[:-1]
+    starts = edges[:-1]
     pos_in_tile = jnp.arange(tile_sorted.shape[0]) - starts[tile_sorted]
 
     table = jnp.full((num_tiles, tile_capacity), n, jnp.int32)
