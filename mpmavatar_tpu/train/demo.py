@@ -164,7 +164,8 @@ def sand_release_schedule(solver, state, cfg, normal=(0.0, 0.0, 1.0),
 
 def render_demo_frame(avatar, params, verts, ao_map, cam, camera_idx,
                       sand_xyz=None, chair=None, chair_shs=None,
-                      active_sh_degree: int = 3, tile_capacity: int = 512):
+                      active_sh_degree: int = 3, tile_capacity: int = 512,
+                      tile_capacity_lo: int = 64, hot_tiles: int = 1024):
     """One demo render frame with extra gaussians (run_demo.py:586-610):
     avatar (shadowed SH colors) + chair (SH toward the moving camera) +
     sand (position-colored), white background, color-calibrated."""
@@ -203,7 +204,8 @@ def render_demo_frame(avatar, params, verts, ao_map, cam, camera_idx,
 
     out = render(cam, params.splats, frames, bg_color=jnp.ones(3),
                  active_sh_degree=active_sh_degree, override_color=colors,
-                 extra=extra, tile_capacity=tile_capacity)
+                 extra=extra, tile_capacity=tile_capacity,
+                 tile_capacity_lo=tile_capacity_lo, hot_tiles=hot_tiles)
     rendering = out["render"] * jnp.exp(params.cam_m[camera_idx])[:, None, None] \
         + params.cam_c[camera_idx][:, None, None]
     rendering = rendering * out["mask"] + (1.0 - out["mask"])
