@@ -128,19 +128,45 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     rect_max_y = jnp.clip(((means2d[:, 1] + radius + TILE - 1) / TILE
                            ).astype(jnp.int32), 0, tiles_y)
 
-    offs = jnp.stack(jnp.meshgrid(jnp.arange(side), jnp.arange(side),
-                                  indexing="ij"), -1).reshape(-1, 2)  # (S,2)
-    ty = rect_min_y[:, None] + offs[None, :, 0]
-    tx = rect_min_x[:, None] + offs[None, :, 1]
-    inst_valid = (valid & (radius > 0))[:, None] & \
-        (ty < rect_max_y[:, None]) & (tx < rect_max_x[:, None])
-    tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles)
+    # two instance pools by footprint: most gaussians span <= 2x2 tiles,
+    # so giving every gaussian the worst-case side^2 slots makes the
+    # (tile, depth) sort ~9x larger than needed.  Small gaussians emit 4
+    # slots; the `big_capacity` largest-footprint ones emit side^2.
+    ok_g = valid & (radius > 0)
+    w_t = rect_max_x - rect_min_x
+    h_t = rect_max_y - rect_min_y
+    is_big = ok_g & ((w_t > 2) | (h_t > 2))
 
-    gauss_id = jnp.broadcast_to(jnp.arange(n)[:, None], tile_id.shape)
-    tile_id = tile_id.reshape(-1)
-    gauss_id = gauss_id.reshape(-1)
-    inst_depth = jnp.broadcast_to(depth[:, None],
-                                  (n, offs.shape[0])).reshape(-1)
+    def pool(idx_g, side_p, suppress_big):
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(side_p), jnp.arange(side_p),
+                         indexing="ij"), -1).reshape(-1, 2)
+        ty = rect_min_y[idx_g][:, None] + offs[None, :, 0]
+        tx = rect_min_x[idx_g][:, None] + offs[None, :, 1]
+        v = ok_g[idx_g][:, None] & (ty < rect_max_y[idx_g][:, None]) \
+            & (tx < rect_max_x[idx_g][:, None])
+        if suppress_big:
+            v = v & ~in_big_pool[idx_g][:, None]
+        else:
+            v = v & is_big[idx_g][:, None]
+        tid = jnp.where(v, ty * tiles_x + tx, num_tiles)
+        gid = jnp.broadcast_to(idx_g[:, None], tid.shape)
+        dep = jnp.broadcast_to(depth[idx_g][:, None], tid.shape)
+        return tid.reshape(-1), gid.reshape(-1), dep.reshape(-1)
+
+    big_capacity = min(n, max(256, n // 8))
+    big_order = jnp.argsort(jnp.where(is_big, 0, 1), stable=True)
+    big_idx = big_order[:big_capacity]
+    # bigs that don't fit the pool degrade to their 2x2 prefix instead of
+    # vanishing; big_overflow reports how many (raise big_capacity then)
+    in_big_pool = jnp.zeros((n,), bool).at[big_idx].set(is_big[big_idx])
+    big_overflow = jnp.sum(is_big) - jnp.sum(in_big_pool)
+
+    t_s, g_s, d_s = pool(jnp.arange(n), 2, True)
+    t_b, g_b, d_b = pool(big_idx, side, False)
+    tile_id = jnp.concatenate([t_s, t_b])
+    gauss_id = jnp.concatenate([g_s, g_b])
+    inst_depth = jnp.concatenate([d_s, d_b])
 
     # one lexicographic (tile, depth) sort via multi-key lax.sort —
     # half the cost of the classic two-pass argsort emulation
@@ -161,7 +187,8 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     flat_idx = jnp.where(ok, tile_sorted * tile_capacity + pos_in_tile,
                          num_tiles * tile_capacity)
     table = table.reshape(-1).at[flat_idx].set(gauss_sorted, mode="drop")
-    return table.reshape(num_tiles, tile_capacity), counts[:num_tiles]
+    return (table.reshape(num_tiles, tile_capacity), counts[:num_tiles],
+            big_overflow)
 
 
 def _composite(table, means2d, conic, colors, opacities, width, height,
@@ -294,11 +321,12 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
         means3d, cov3d, cam, width, height)
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
-    table, counts = _build_tile_table(means2d, depth, radius, in_frustum,
-                                      width, height, max_tiles_per_gauss,
-                                      tile_capacity)
+    table, counts, big_overflow = _build_tile_table(
+        means2d, depth, radius, in_frustum, width, height,
+        max_tiles_per_gauss, tile_capacity)
     img, alpha = _composite(table, means2d, conic, colors, opacities,
                             width, height, bg, chunk=chunk,
                             cap_lo=tile_capacity_lo, hot_tiles=hot_tiles)
     return {"render": img, "alpha": alpha, "radii": radius,
-            "depth": depth, "tile_counts": counts}
+            "depth": depth, "tile_counts": counts,
+            "big_overflow": big_overflow}

@@ -188,3 +188,19 @@ def test_two_tier_compositing_matches_full():
 
     g = jax.grad(loss)(xyz)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_big_footprint_pool():
+    """Gaussians spanning many tiles go through the big-instance pool and
+    still render full coverage; overflow count is exposed."""
+    cam = simple_camera()
+    # one huge gaussian covering most of the 64x64 frame (16 tiles)
+    out = rasterize(jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32),
+                    jnp.asarray([[1.0, 0.0, 0.0]]), jnp.asarray([0.9]),
+                    iso_cov(1, 0.5), camera_arrays(cam), jnp.zeros(3),
+                    64, 64)
+    img = np.asarray(out["render"])
+    assert int(out["big_overflow"]) == 0
+    # red in all four quadrant tiles, far from the 2x2 top-left prefix
+    assert img[0, 16, 16] > 0.05 and img[0, 16, 47] > 0.05
+    assert img[0, 47, 16] > 0.05 and img[0, 47, 47] > 0.05
