@@ -297,14 +297,111 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
     return img[:, :height, :width], alpha_map[:, :height, :width]
 
 
+def _composite_worklist(table, means2d, conic, colors, opacities,
+                        width, height, bg, chunk: int = 32,
+                        work_cap: int = 16384):
+    """Front-to-back compositing over a compacted (tile, chunk) worklist.
+
+    Work scales with the number of REAL instances (sum of per-tile
+    ceil(count/chunk)) instead of tiles*capacity: each work item
+    composites one chunk of one tile into a segment (color, transmittance)
+    — segments of the same tile then combine in depth order with the
+    associative rule (c, t) o (c', t') = (c + t*c', t*t').  Exact for any
+    tile-density distribution (unlike the two-tier heuristic); items
+    beyond ``work_cap`` are dropped (telemetry: second return value).
+    """
+    num_tiles, cap = table.shape
+    tiles_x = (width + TILE - 1) // TILE
+    n = means2d.shape[0]
+    nc = colors.shape[-1]
+    p = TILE * TILE
+    max_items = cap // chunk
+
+    means2d_p = jnp.concatenate([means2d, jnp.full((1, 2), -1e6,
+                                                   means2d.dtype)])
+    conic_p = jnp.concatenate([conic, jnp.zeros((1, 3), conic.dtype)])
+    colors_p = jnp.concatenate([colors, jnp.zeros((1, nc), colors.dtype)])
+    opac_p = jnp.concatenate([opacities.reshape(-1),
+                              jnp.zeros((1,), opacities.dtype)])
+
+    t_idx = jnp.arange(num_tiles)
+    tile_x0 = (t_idx % tiles_x) * TILE
+    tile_y0 = (t_idx // tiles_x) * TILE
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    pix_all = jnp.stack(
+        [tile_x0[:, None] + px.reshape(-1)[None, :],
+         tile_y0[:, None] + py.reshape(-1)[None, :]],
+        -1).astype(means2d.dtype)                        # (T,P,2)
+
+    counts = jnp.sum(table < n, axis=1)
+    items_per_tile = (jnp.minimum(counts, cap) + chunk - 1) // chunk
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(items_per_tile).astype(jnp.int32)])
+    n_items = offs[-1]
+    overflow = jnp.maximum(n_items - work_cap, 0)
+
+    w_ids = jnp.arange(work_cap)
+    item_tile = jnp.clip(
+        jnp.searchsorted(offs, w_ids, side="right") - 1, 0, num_tiles - 1)
+    valid_item = w_ids < n_items
+    ordinal = jnp.clip(w_ids - offs[item_tile], 0, max_items - 1)
+
+    table_r = table.reshape(num_tiles, max_items, chunk)
+    ids = jnp.where(valid_item[:, None],
+                    table_r[item_tile, ordinal], n)      # (W, chunk)
+    pix = pix_all[item_tile]                             # (W, P, 2)
+
+    m = means2d_p[ids]
+    co = conic_p[ids]
+    col = colors_p[ids]
+    op = opac_p[ids]
+    d = pix[:, :, None, :] - m[:, None, :, :]            # (W,P,C,2)
+    power = -0.5 * (co[:, None, :, 0] * d[..., 0] ** 2
+                    + co[:, None, :, 2] * d[..., 1] ** 2) \
+        - co[:, None, :, 1] * d[..., 0] * d[..., 1]
+    alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(
+        jnp.minimum(power, 0.0)))
+    alpha = jnp.where(power > 0.0, 0.0, alpha)
+    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)     # (W,P,C)
+    log1m = jnp.log1p(-alpha)
+    tri = jnp.triu(jnp.ones((chunk, chunk), alpha.dtype), 1)
+    excl_log = jnp.einsum("wpc,cd->wpd", log1m, tri)
+    w_ = alpha * jnp.exp(excl_log)
+    seg_c = jnp.einsum("wpc,wcn->wpn", w_, col)          # (W,P,nc)
+    seg_t = jnp.exp(excl_log[..., -1] + log1m[..., -1])  # (W,P)
+
+    accum = jnp.zeros((num_tiles, p, nc), means2d.dtype)
+    trans = jnp.ones((num_tiles, p), means2d.dtype)
+    for j in range(max_items):
+        has = j < items_per_tile                         # (T,)
+        idx = jnp.clip(offs[:num_tiles] + j, 0, work_cap - 1)
+        cj = jnp.where(has[:, None, None], seg_c[idx], 0.0)
+        tj = jnp.where(has[:, None], seg_t[idx], 1.0)
+        accum = accum + trans[..., None] * cj
+        trans = trans * tj
+
+    img = accum + trans[..., None] * bg[None, None, :nc]
+    tiles_y = num_tiles // tiles_x
+    img = img.reshape(tiles_y, tiles_x, TILE, TILE, nc)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(nc, tiles_y * TILE,
+                                               tiles_x * TILE)
+    alpha_map = 1.0 - trans
+    alpha_map = alpha_map.reshape(tiles_y, tiles_x, TILE, TILE)
+    alpha_map = alpha_map.transpose(0, 2, 1, 3).reshape(
+        1, tiles_y * TILE, tiles_x * TILE)
+    return (img[:, :height, :width], alpha_map[:, :height, :width],
+            overflow)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
                                    "max_tiles_per_gauss", "chunk",
-                                   "tile_capacity_lo", "hot_tiles"))
+                                   "tile_capacity_lo", "hot_tiles",
+                                   "work_cap"))
 def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
               bg, width: int, height: int, means2d_offset=None,
               tile_capacity: int = 512, max_tiles_per_gauss: int = 36,
               chunk: int = 32, tile_capacity_lo: int = 0,
-              hot_tiles: int = 0):
+              hot_tiles: int = 0, work_cap: int = 0):
     """Full differentiable splatting pass.
 
     ``means2d_offset`` (N,2), normally zeros, is added to the projected 2D
@@ -324,9 +421,17 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
     table, counts, big_overflow = _build_tile_table(
         means2d, depth, radius, in_frustum, width, height,
         max_tiles_per_gauss, tile_capacity)
-    img, alpha = _composite(table, means2d, conic, colors, opacities,
-                            width, height, bg, chunk=chunk,
-                            cap_lo=tile_capacity_lo, hot_tiles=hot_tiles)
+    if work_cap > 0:
+        img, alpha, work_overflow = _composite_worklist(
+            table, means2d, conic, colors, opacities, width, height, bg,
+            chunk=chunk, work_cap=work_cap)
+    else:
+        img, alpha = _composite(table, means2d, conic, colors, opacities,
+                                width, height, bg, chunk=chunk,
+                                cap_lo=tile_capacity_lo,
+                                hot_tiles=hot_tiles)
+        work_overflow = jnp.zeros((), jnp.int32)
     return {"render": img, "alpha": alpha, "radii": radius,
             "depth": depth, "tile_counts": counts,
-            "big_overflow": big_overflow}
+            "big_overflow": big_overflow,
+            "work_overflow": work_overflow}

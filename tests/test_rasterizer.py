@@ -204,3 +204,24 @@ def test_big_footprint_pool():
     # red in all four quadrant tiles, far from the 2x2 top-left prefix
     assert img[0, 16, 16] > 0.05 and img[0, 16, 47] > 0.05
     assert img[0, 47, 16] > 0.05 and img[0, 47, 47] > 0.05
+
+
+def test_worklist_compositing_matches_full():
+    """work_cap>0 (compacted tile worklist) matches the flat compositor
+    exactly and reports zero overflow when sized correctly."""
+    rng = np.random.default_rng(5)
+    n = 1200
+    xyz = jnp.asarray(rng.normal(0, 0.3, (n, 3)).astype(np.float32))
+    colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    opac = jnp.asarray((0.3 + 0.6 * rng.random(n)).astype(np.float32))
+    cov = iso_cov(n, 0.02)
+    ca = camera_arrays(simple_camera())
+    full = rasterize(xyz, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                     tile_capacity=256)
+    wl = rasterize(xyz, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                   tile_capacity=256, work_cap=512)
+    assert int(wl["work_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(wl["render"]),
+                               np.asarray(full["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wl["alpha"]),
+                               np.asarray(full["alpha"]), atol=1e-5)
