@@ -128,45 +128,49 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     rect_max_y = jnp.clip(((means2d[:, 1] + radius + TILE - 1) / TILE
                            ).astype(jnp.int32), 0, tiles_y)
 
-    # two instance pools by footprint: most gaussians span <= 2x2 tiles,
-    # so giving every gaussian the worst-case side^2 slots makes the
-    # (tile, depth) sort ~9x larger than needed.  Small gaussians emit 4
-    # slots; the `big_capacity` largest-footprint ones emit side^2.
+    # three instance tiers by footprint: most gaussians span <= 2x2
+    # tiles, so giving every gaussian the worst-case side^2 slots makes
+    # the (tile, depth) sort ~9x larger than needed.  Tiers: <= 2x2 -> 4
+    # slots (everyone), <= 4x4 -> the mid pool (16 slots), larger -> the
+    # big pool (side^2 slots).  Pool stragglers degrade to the previous
+    # tier's coverage instead of vanishing; big_overflow counts them.
     ok_g = valid & (radius > 0)
     w_t = rect_max_x - rect_min_x
     h_t = rect_max_y - rect_min_y
-    is_big = ok_g & ((w_t > 2) | (h_t > 2))
+    over2 = ok_g & ((w_t > 2) | (h_t > 2))
+    over4 = ok_g & ((w_t > 4) | (h_t > 4))
 
-    def pool(idx_g, side_p, suppress_big):
+    def pool(idx_g, side_p, emit):
         offs = jnp.stack(
             jnp.meshgrid(jnp.arange(side_p), jnp.arange(side_p),
                          indexing="ij"), -1).reshape(-1, 2)
         ty = rect_min_y[idx_g][:, None] + offs[None, :, 0]
         tx = rect_min_x[idx_g][:, None] + offs[None, :, 1]
-        v = ok_g[idx_g][:, None] & (ty < rect_max_y[idx_g][:, None]) \
+        v = emit[idx_g][:, None] & (ty < rect_max_y[idx_g][:, None]) \
             & (tx < rect_max_x[idx_g][:, None])
-        if suppress_big:
-            v = v & ~in_big_pool[idx_g][:, None]
-        else:
-            v = v & is_big[idx_g][:, None]
         tid = jnp.where(v, ty * tiles_x + tx, num_tiles)
         gid = jnp.broadcast_to(idx_g[:, None], tid.shape)
         dep = jnp.broadcast_to(depth[idx_g][:, None], tid.shape)
         return tid.reshape(-1), gid.reshape(-1), dep.reshape(-1)
 
-    big_capacity = min(n, max(256, n // 8))
-    big_order = jnp.argsort(jnp.where(is_big, 0, 1), stable=True)
-    big_idx = big_order[:big_capacity]
-    # bigs that don't fit the pool degrade to their 2x2 prefix instead of
-    # vanishing; big_overflow reports how many (raise big_capacity then)
-    in_big_pool = jnp.zeros((n,), bool).at[big_idx].set(is_big[big_idx])
-    big_overflow = jnp.sum(is_big) - jnp.sum(in_big_pool)
+    def top_pool(flag, capacity):
+        order = jnp.argsort(jnp.where(flag, 0, 1), stable=True)
+        idx = order[:capacity]
+        member = jnp.zeros((n,), bool).at[idx].set(flag[idx])
+        return idx, member, jnp.sum(flag) - jnp.sum(member)
 
-    t_s, g_s, d_s = pool(jnp.arange(n), 2, True)
-    t_b, g_b, d_b = pool(big_idx, side, False)
-    tile_id = jnp.concatenate([t_s, t_b])
-    gauss_id = jnp.concatenate([g_s, g_b])
-    inst_depth = jnp.concatenate([d_s, d_b])
+    mid_capacity = min(n, max(256, n // 2))
+    big_capacity = min(n, max(256, n // 8))
+    mid_idx, in_mid, mid_over = top_pool(over2, mid_capacity)
+    big_idx, in_big, big_over = top_pool(over4, big_capacity)
+    big_overflow = mid_over + big_over
+
+    t_s, g_s, d_s = pool(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big)
+    t_m, g_m, d_m = pool(mid_idx, 4, in_mid & ~in_big)
+    t_b, g_b, d_b = pool(big_idx, side, in_big)
+    tile_id = jnp.concatenate([t_s, t_m, t_b])
+    gauss_id = jnp.concatenate([g_s, g_m, g_b])
+    inst_depth = jnp.concatenate([d_s, d_m, d_b])
 
     # one lexicographic (tile, depth) sort via multi-key lax.sort —
     # half the cost of the classic two-pass argsort emulation
