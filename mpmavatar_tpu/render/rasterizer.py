@@ -108,7 +108,8 @@ def project_gaussians(means3d, cov3d, cam: CameraArrays, width: int,
 
 
 def _build_tile_table(means2d, depth, radius, valid, width, height,
-                      max_tiles_per_gauss: int, tile_capacity: int):
+                      max_tiles_per_gauss: int, tile_capacity: int,
+                      mid_capacity=None, big_capacity=None):
     """Fixed-capacity per-tile index table, depth-sorted.
 
     Returns (table (T, K) int32 gaussian ids padded with N, counts (T,)).
@@ -159,8 +160,12 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
         member = jnp.zeros((n,), bool).at[idx].set(flag[idx])
         return idx, member, jnp.sum(flag) - jnp.sum(member)
 
-    mid_capacity = min(n, max(256, n // 2))
-    big_capacity = min(n, max(256, n // 8))
+    # capacity n = exact coverage for every footprint (the tiers still
+    # shrink the sort: disjoint emit masks mean 4/16/side^2 slots per
+    # gaussian by actual size).  Callers may cap the pools to trade
+    # bounded degradation (prefix coverage) for a smaller sort.
+    mid_capacity = n if mid_capacity is None else min(n, mid_capacity)
+    big_capacity = n if big_capacity is None else min(n, big_capacity)
     mid_idx, in_mid, mid_over = top_pool(over2, mid_capacity)
     big_idx, in_big, big_over = top_pool(over4, big_capacity)
     big_overflow = mid_over + big_over
@@ -400,12 +405,14 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
 @partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
                                    "max_tiles_per_gauss", "chunk",
                                    "tile_capacity_lo", "hot_tiles",
-                                   "work_cap"))
+                                   "work_cap", "mid_capacity",
+                                   "big_capacity"))
 def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
               bg, width: int, height: int, means2d_offset=None,
               tile_capacity: int = 512, max_tiles_per_gauss: int = 36,
               chunk: int = 32, tile_capacity_lo: int = 0,
-              hot_tiles: int = 0, work_cap: int = 0):
+              hot_tiles: int = 0, work_cap: int = 0,
+              mid_capacity: int = None, big_capacity: int = None):
     """Full differentiable splatting pass.
 
     ``means2d_offset`` (N,2), normally zeros, is added to the projected 2D
@@ -424,7 +431,8 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
         means2d = means2d + means2d_offset
     table, counts, big_overflow = _build_tile_table(
         means2d, depth, radius, in_frustum, width, height,
-        max_tiles_per_gauss, tile_capacity)
+        max_tiles_per_gauss, tile_capacity,
+        mid_capacity=mid_capacity, big_capacity=big_capacity)
     if work_cap > 0:
         img, alpha, work_overflow = _composite_worklist(
             table, means2d, conic, colors, opacities, width, height, bg,
