@@ -25,8 +25,11 @@ def main():
     colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
     opac = jnp.asarray(
         (0.3 + 0.6 * rng.random(n)).astype(np.float32))
+    # trained-avatar splat sizes: iso/scale regularizers keep gaussians
+    # at a few screen pixels (scene/gaussian_model.py scale init from
+    # 3-NN distances on a ~2e4-face mesh) — 1-4mm here -> ~0.5-2px sigma
     scales = jnp.asarray(
-        (0.003 + 0.01 * rng.random((n, 3))).astype(np.float32))
+        (0.001 + 0.003 * rng.random((n, 3))).astype(np.float32))
     rots = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
     cov3d = covariance_from_scaling_rotation(scales, 1.0, rots)
 
@@ -40,7 +43,7 @@ def main():
     def render(xyz):
         out = rasterize(xyz, colors, opac, cov3d, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=512,
-                        tile_capacity_lo=64, hot_tiles=1024)
+                        work_cap=8192)
         return out["render"]
 
     rj = jax.jit(render)

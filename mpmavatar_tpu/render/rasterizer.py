@@ -160,12 +160,16 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
         member = jnp.zeros((n,), bool).at[idx].set(flag[idx])
         return idx, member, jnp.sum(flag) - jnp.sum(member)
 
-    # capacity n = exact coverage for every footprint (the tiers still
-    # shrink the sort: disjoint emit masks mean 4/16/side^2 slots per
-    # gaussian by actual size).  Callers may cap the pools to trade
-    # bounded degradation (prefix coverage) for a smaller sort.
-    mid_capacity = n if mid_capacity is None else min(n, mid_capacity)
-    big_capacity = n if big_capacity is None else min(n, big_capacity)
+    # Pool capacities are STATIC slots: unused slots still enter the
+    # (tile, depth) sort as sentinels, so capacities must track the
+    # expected footprint distribution, not worst case.  Defaults assume
+    # a mostly-small population (trained avatar splats); stragglers
+    # degrade to the previous tier's coverage and big_overflow counts
+    # them — callers raise the capacities when it is nonzero.
+    mid_capacity = min(n, max(256, n // 4) if mid_capacity is None
+                       else mid_capacity)
+    big_capacity = min(n, max(256, n // 16) if big_capacity is None
+                       else big_capacity)
     mid_idx, in_mid, mid_over = top_pool(over2, mid_capacity)
     big_idx, in_big, big_over = top_pool(over4, big_capacity)
     big_overflow = mid_over + big_over
