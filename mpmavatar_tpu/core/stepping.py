@@ -284,7 +284,10 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
                         mesh_x, mesh_v, grid_v_out, column_k: int = 0):
     """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
     face centroid velocity + normal to the grid, then project out inward
-    relative normal velocity with Coulomb friction."""
+    relative normal velocity with Coulomb friction.
+
+    Returns (grid_v (G^3, 3), overflow ()) — overflow counts collider
+    faces dropped by the column splat caps (0 on the scatter path)."""
     G3 = cfg.n_grid ** 3
     p0 = mesh_x[col.faces[:, 0]]
     p1 = mesh_x[col.faces[:, 1]]
@@ -301,8 +304,10 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     G = cfg.n_grid
     if column_k > 0:
         from ..ops import column_transfer as _ct
-        acc, grid_w = _ct.splat_columns(cfg, centroid, vals, column_k)
+        acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,
+                                                  column_k)
     else:
+        overflow = jnp.zeros((), jnp.int32)
         base, fx, w, _ = bspline(centroid, cfg.inv_dx)
         w27 = _stencil_products(w)
         gidx = _flat_indices(base, G)
@@ -330,7 +335,8 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
         fric_active[:, None],
         (fric_len / len_safe)[:, None] * v_proj,
         v_proj)
-    return jnp.where(covered[:, None], v_fric + mesh_vel, grid_v_out)
+    return jnp.where(covered[:, None], v_fric + mesh_vel,
+                     grid_v_out), overflow
 
 
 def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
@@ -527,7 +533,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
                           "column_radius", "column_bf16",
-                          "column_gather"))
+                          "column_gather", "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -546,13 +552,19 @@ def p2g2p(cfg: MPMStaticConfig,
           column_bf16: bool = False,
           column_gather: bool = False,
           column_bins=None,
-          vf_incidence: Optional[jnp.ndarray] = None) -> MPMState:
+          vf_incidence: Optional[jnp.ndarray] = None,
+          return_overflow: bool = False) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
 
     ``column_k > 0`` switches the particle<->grid transfers to the
     scatter-free column-packed MXU path (ops.column_transfer) with K =
     column_k slots per (x, y) column; ``mesh_column_k`` likewise for the
-    body-mesh rasterization."""
+    body-mesh rasterization.
+
+    ``return_overflow=True`` additionally returns an int32 scalar
+    counting particles/collider faces silently dropped by the static
+    column caps this substep — an overflowing scene loses mass, so
+    drivers check it at frame boundaries (MPMSolver.frame)."""
     import dataclasses as _dc
 
     # pre-P2G particle operations
@@ -618,10 +630,13 @@ def p2g2p(cfg: MPMStaticConfig,
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
     grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
 
+    overflow = bins.overflow if bins is not None else jnp.zeros((),
+                                                                jnp.int32)
     for mc in colliders.mesh_colliders:
-        grid_v_out = apply_mesh_collider(cfg, mc, mesh_x, mesh_v,
-                                         grid_v_out,
-                                         column_k=mesh_column_k)
+        grid_v_out, mesh_of = apply_mesh_collider(cfg, mc, mesh_x, mesh_v,
+                                                  grid_v_out,
+                                                  column_k=mesh_column_k)
+        overflow = overflow + mesh_of
 
     if colliders.use_particle_mover and (
             joint_verts_v is not None or joint_faces_v is not None
@@ -643,4 +658,7 @@ def p2g2p(cfg: MPMStaticConfig,
         gathered = None
     x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,
                                   gathered=gathered)
-    return _dc.replace(state, x=x1, v=v1, C=c1, F_trial=f_trial, d=d1)
+    state = _dc.replace(state, x=x1, v=v1, C=c1, F_trial=f_trial, d=d1)
+    if return_overflow:
+        return state, overflow
+    return state

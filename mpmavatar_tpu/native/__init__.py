@@ -24,9 +24,11 @@ _lib = None
 
 
 def _build():
+    # portable baseline (no -march=native): the .so is built lazily on
+    # each machine, but a copied binary must not SIGILL on older CPUs
     srcs = [os.path.join(_DIR, "src", f)
             for f in ("fast_obj.cpp", "knn3.cpp")]
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
 

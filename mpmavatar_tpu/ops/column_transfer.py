@@ -61,6 +61,13 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     """Sort-and-pack points by (x, y) base-cell column, compacted to the
     occupied columns.
 
+    Cost note (TPU v5e): built from exactly TWO multi-operand
+    ``lax.sort`` calls.  Everything per-particle (segment id, in-column
+    rank, original-order restore) rides the sorts as payload — the
+    earlier formulation's P-sized ``jnp.searchsorted`` lookups compile
+    to ~17 serial gather rounds each and dominated the cost (26.7 ms ->
+    ~4 ms at 100k points).
+
     With ``radius`` given, also builds the gather-accumulate tables
     (expanded column set = active set dilated by the shift window, and a
     per-shift source index) so P2G can replace its S row-scatters with
@@ -72,41 +79,42 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
     col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
                                                         G - 1)
-    perm = jnp.argsort(col)
-    sorted_col = col[perm]
-    # occupied columns straight from the sorted ids (no second sort):
-    # seg_id ranks distinct values; the j-th active column is the value at
-    # the first position whose rank is j.
+    iota = jnp.arange(P, dtype=jnp.int32)
+    # sort 1: by column id, carrying the original index
+    sorted_col, perm = jax.lax.sort((col, iota), num_keys=1)
     flags = jnp.concatenate([jnp.ones((1,), jnp.int32),
                              (sorted_col[1:] != sorted_col[:-1])
                              .astype(jnp.int32)])
     seg_id = jnp.cumsum(flags) - 1
-    first_pos = jnp.searchsorted(seg_id, jnp.arange(c_cap))
-    active_col = jnp.where(jnp.arange(c_cap) <= seg_id[-1],
-                           sorted_col[jnp.clip(first_pos, 0, P - 1)],
-                           G * G)
-    start = jnp.searchsorted(sorted_col, active_col)
-    end = jnp.searchsorted(sorted_col, active_col, side="right")
-    count = (end - start).astype(jnp.int32)
+    # in-column rank = distance to the segment's first position (a
+    # running max over flagged positions — no searchsorted)
+    seg_start = jax.lax.cummax(jnp.where(flags > 0, iota, 0))
+    rank_sorted = iota - seg_start
+    # per-active-column first position / count: c_cap-sized binary
+    # searches into the sorted segment ids (cheap; log2(P) gathers of
+    # c_cap rows)
+    first_pos = jnp.searchsorted(seg_id, jnp.arange(c_cap + 1)
+                                 ).astype(jnp.int32)
+    n_active = seg_id[-1] + 1
+    active_col = jnp.where(jnp.arange(c_cap) < n_active,
+                           sorted_col[jnp.clip(first_pos[:c_cap], 0,
+                                               P - 1)], G * G)
+    count = first_pos[1:] - first_pos[:c_cap + 1][:-1]
 
     slots = jnp.arange(K)
-    idx = start[:, None] + slots[None, :]
+    idx = first_pos[:c_cap, None] + slots[None, :]
     valid = slots[None, :] < jnp.minimum(count, K)[:, None]
     pid = jnp.where(valid, perm[jnp.clip(idx, 0, P - 1)], P)
 
-    cidx_of_p = jnp.searchsorted(active_col, col)
-    cidx_clipped = jnp.clip(cidx_of_p, 0, c_cap - 1)
-    # a column beyond the cap maps to some other active column via
-    # searchsorted — mark those particles as dropped (rank sentinel)
-    col_ok = active_col[cidx_clipped] == col
-    first_of_col = jnp.searchsorted(sorted_col, sorted_col)
-    rank_sorted = (jnp.arange(P) - first_of_col).astype(jnp.int32)
-    inv_perm = jnp.argsort(perm)        # scatter-free inverse permutation
-    rank_of_p = rank_sorted[inv_perm]
-    rank_of_p = jnp.where(col_ok, rank_of_p, K + 1)
+    # sort 2: restore original particle order, carrying (rank, col idx)
+    rank_capped = jnp.where(seg_id < c_cap, rank_sorted,
+                            K + 1).astype(jnp.int32)
+    cidx_sorted = jnp.clip(seg_id, 0, c_cap - 1).astype(jnp.int32)
+    _, rank_of_p, cidx_of_p = jax.lax.sort(
+        (perm, rank_capped, cidx_sorted), num_keys=1)
     overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
     bins = ColumnBins(active_col=active_col, pid=pid, valid=valid,
-                      cidx_of_p=cidx_clipped,
+                      cidx_of_p=cidx_of_p,
                       rank_of_p=rank_of_p, overflow=overflow)
     if radius is None:
         return bins
@@ -474,7 +482,9 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
                   bounds_check: bool = True):
     """Generic w-weighted splat: scatter-free replacement for
     core.stepping.rasterize_to_grid (mesh collider / particle mover).
-    Returns (grid_vals (G^3, C), grid_w (G^3,))."""
+    Returns (grid_vals (G^3, C), grid_w (G^3,), overflow ()) — overflow
+    counts points dropped by the K-slot / column caps (dropped collider
+    faces distort contact normals, so callers must surface it)."""
     G = cfg.n_grid
     Cch = values.shape[-1]
     bins = build_bins(points, cfg, K)
@@ -505,7 +515,7 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
 
     grid = _scatter_columns(out, bins, G, Cch + 1)
     grid = grid.reshape(G * G * G, Cch + 1)
-    return grid[:, :Cch], grid[:, Cch]
+    return grid[:, :Cch], grid[:, Cch], bins.overflow
 
 
 def build_vertex_incidence(faces, n_vertices: int):

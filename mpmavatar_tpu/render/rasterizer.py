@@ -386,7 +386,10 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
     accum = jnp.zeros((num_tiles, p, nc), means2d.dtype)
     trans = jnp.ones((num_tiles, p), means2d.dtype)
     for j in range(max_items):
-        has = j < items_per_tile                         # (T,)
+        # an item participates only if it exists for this tile AND fell
+        # inside the computed worklist — items beyond work_cap were never
+        # evaluated, so compositing them would mix another tile's segment
+        has = (j < items_per_tile) & (offs[:num_tiles] + j < work_cap)
         idx = jnp.clip(offs[:num_tiles] + j, 0, work_cap - 1)
         cj = jnp.where(has[:, None, None], seg_c[idx], 0.0)
         tj = jnp.where(has[:, None], seg_t[idx], 1.0)

@@ -243,11 +243,16 @@ class MPMSolver:
               mesh_v: Optional[jnp.ndarray] = None,
               joint_verts_v: Optional[jnp.ndarray] = None,
               joint_faces_v: Optional[jnp.ndarray] = None,
-              remat: bool = False):
+              remat: bool = False, return_overflow: bool = False):
         """One capture frame = ``num_substeps`` scanned substeps.
 
         ``mesh_x`` is the frame-start collider mesh; positions advance
-        linearly in-scan (train_material_params.py:622-626)."""
+        linearly in-scan (train_material_params.py:622-626).
+
+        ``return_overflow=True`` appends an int32 scalar: the max
+        per-substep count of particles/collider faces silently dropped by
+        the column caps.  Nonzero means lost mass — raise column_k /
+        column_c_cap.  Use ``check_overflow`` at frame boundaries."""
         cfg, colliders = self.cfg, self.colliders
 
         amortized = self.column_k > 0 and (self.rebin_every > 1
@@ -265,7 +270,7 @@ class MPMSolver:
 
         def body(carry, s):
             if amortized:
-                st, t, bins, x_ref = carry
+                st, t, of, bins, x_ref = carry
                 if self.rebin_auto:
                     drift = jnp.max(jnp.abs(st.x[:, :2] - x_ref[:, :2]))
                     need = drift > drift_lim
@@ -274,7 +279,7 @@ class MPMSolver:
                 bins = jax.lax.cond(need, _rebuild, lambda x: bins, st.x)
                 x_ref = jnp.where(need, st.x, x_ref)
             else:
-                st, t = carry
+                st, t, of = carry
                 bins = None
             kw = {}
             if mesh_x is not None:
@@ -284,32 +289,49 @@ class MPMSolver:
                 kw["joint_verts_v"] = joint_verts_v
             if joint_faces_v is not None:
                 kw["joint_faces_v"] = joint_faces_v
-            st = stepping.p2g2p(cfg, colliders, st, model,
-                                jnp.float32(dt), t,
-                                column_k=self.column_k,
-                                mesh_column_k=self.mesh_column_k,
-                                column_c_cap=self.column_c_cap,
-                                column_radius=self.column_radius,
-                                column_bf16=self.column_bf16,
-                                column_gather=self.column_gather,
-                                column_bins=bins,
-                                vf_incidence=self.vf_incidence, **kw)
+            st, st_of = stepping.p2g2p(cfg, colliders, st, model,
+                                       jnp.float32(dt), t,
+                                       column_k=self.column_k,
+                                       mesh_column_k=self.mesh_column_k,
+                                       column_c_cap=self.column_c_cap,
+                                       column_radius=self.column_radius,
+                                       column_bf16=self.column_bf16,
+                                       column_gather=self.column_gather,
+                                       column_bins=bins,
+                                       vf_incidence=self.vf_incidence,
+                                       return_overflow=True, **kw)
+            of = jnp.maximum(of, st_of)
             if amortized:
-                return (st, t + dt, bins, x_ref), None
-            return (st, t + dt), None
+                return (st, t + dt, of, bins, x_ref), None
+            return (st, t + dt, of), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
+        of0 = jnp.zeros((), jnp.int32)
         if amortized:
             bins0 = _rebuild(state.x)
-            (state, time, _, _), _ = jax.lax.scan(
-                body, (state, jnp.float32(time0), bins0, state.x),
+            (state, time, overflow, _, _), _ = jax.lax.scan(
+                body, (state, jnp.float32(time0), of0, bins0, state.x),
                 jnp.arange(num_substeps))
         else:
-            (state, time), _ = jax.lax.scan(
-                body, (state, jnp.float32(time0)),
+            (state, time, overflow), _ = jax.lax.scan(
+                body, (state, jnp.float32(time0), of0),
                 jnp.arange(num_substeps))
+        if return_overflow:
+            return state, time, overflow
         return state, time
+
+    @staticmethod
+    def check_overflow(overflow, context: str = "rollout"):
+        """Host-side fail-loud check of the overflow telemetry returned by
+        ``frame(..., return_overflow=True)`` — raises instead of letting an
+        over-cap scene silently lose mass."""
+        n = int(overflow)
+        if n > 0:
+            raise RuntimeError(
+                f"column-transfer overflow during {context}: {n} "
+                "particles/collider faces were dropped by the static "
+                "caps — raise column_k / column_c_cap / mesh_column_k")
 
 
 # ----------------------------------------------------------------------

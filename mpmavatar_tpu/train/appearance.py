@@ -105,20 +105,47 @@ def render_avatar_frame(avatar: MeshAvatar, params: AvatarParams,
 
 @dataclasses.dataclass
 class AppearanceLossWeights:
-    """train_appearance.py:87,132-152."""
+    """train_appearance.py:87,132-152 (loss_weights dict; the reg set
+    actually used is normal/opacity/iso/eq_faces_weight(area)/xyz/scale;
+    the offset term is commented out in the reference)."""
     dssim: float = 0.2
+    lpips: float = 0.2
     normal: float = 0.1
-    opacity: float = 0.01
-    iso: float = 5.0
-    area: float = 10.0
-    offset: float = 1.0
+    opacity: float = 0.05
+    iso: float = 20.0
+    area: float = 1000.0
+    xyz: float = 1.0
+    scale: float = 1.0
+    offset: float = 0.0
+    threshold_xyz: float = 1.0
+    threshold_scale: float = 0.6
+
+
+def _masked_mean(values, mask):
+    return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
                     white_bkgd: bool,
                     weights: Optional[AppearanceLossWeights] = None,
-                    tile_capacity: int = 512):
-    weights = weights or AppearanceLossWeights(dssim=opt.lambda_dssim)
+                    tile_capacity: int = 512, lpips_fn=None):
+    """One jitted optimization step.
+
+    The returned aux carries ``vgrad``: d(loss)/d(means2d) extracted from
+    the SAME backward pass as the parameter gradients (the reference's
+    viewspace_points grad, gaussian_renderer/__init__.py:26-29) — no
+    second render.  It is scaled to NDC units (x 0.5*W, 0.5*H) so the
+    reference's ``densify_grad_threshold`` applies unchanged (the CUDA
+    backward folds ddelx_dx = 0.5*W into dL/dmean2D).
+
+    ``lpips_fn`` (optional, from utils.lpips_jax.make_lpips_fn) adds the
+    reference's lambda_lpips * LPIPS(image, gt) term
+    (train_appearance.py:133-134).
+    """
+    weights = weights or AppearanceLossWeights(
+        dssim=opt.lambda_dssim, lpips=getattr(opt, "lambda_lpips", 0.2),
+        threshold_xyz=getattr(opt, "threshold_xyz", 1.0),
+        threshold_scale=getattr(opt, "threshold_scale", 0.6))
     bg = jnp.ones(3) if white_bkgd else jnp.zeros(3)
 
     @partial(jax.jit, static_argnames=("timestep", "width", "height"))
@@ -136,30 +163,57 @@ def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
                 treedef, [next(it) if m else orig
                           for m, orig in zip(fmask, flat)])
 
-        def loss_fn(p):
+        def loss_fn(floats, m2d):
+            p = recombine(floats)
             verts = avatar.select_verts(p, timestep)
-            m2d = jnp.zeros((p.splats.capacity, 2))
             rendering, out = render_avatar_frame(
                 avatar, p, verts, ao_map, (ca, width, height), camera_idx,
                 active_sh_degree, bg, white_bkgd, means2d_offset=m2d,
                 tile_capacity=tile_capacity)
+            rendering = jnp.clip(rendering, 0.0, 1.0)
             gt = gt_rgb * gt_msk + (1.0 - gt_msk if white_bkgd else 0.0)
             ll1 = l1_loss(rendering, gt)
             ds = 1.0 - ssim(rendering, gt)
             loss = (1.0 - weights.dssim) * ll1 + weights.dssim * ds
+            lp = jnp.zeros(())
+            if lpips_fn is not None:
+                lp = lpips_fn(rendering[None], gt[None])
+                loss = loss + weights.lpips * lp
             loss = loss + weights.normal * avatar.normal_loss(verts)
             loss = loss + weights.opacity * avatar.opacity_loss(p)
             loss = loss + weights.iso * avatar.iso_loss(verts)
             loss = loss + weights.area * avatar.area_loss(verts)
-            loss = loss + weights.offset * jnp.mean(
-                jnp.abs(p.verts_offset[timestep]))
-            aux = {"l1": ll1, "dssim": ds, "radii": out["radii"],
-                   "alpha": out["alpha"]}
-            return loss, (aux, m2d)
+            # xyz / scale threshold regs over visible gaussians
+            # (train_appearance.py:147-148)
+            visible = (out["radii"] > 0) & p.splats.alive
+            # safe norms: ||.|| has a NaN gradient at exactly zero (the
+            # xyz offsets start at 0), so add eps inside the sqrt
+            def _norm(v):
+                return jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-12)
+            xyz_excess = jax.nn.relu(_norm(p.splats.xyz)
+                                     - weights.threshold_xyz)
+            loss = loss + weights.xyz * _masked_mean(xyz_excess, visible)
+            scale_excess = _norm(jax.nn.relu(
+                jnp.exp(p.splats.scaling) - weights.threshold_scale))
+            loss = loss + weights.scale * _masked_mean(scale_excess,
+                                                       visible)
+            if weights.offset:
+                loss = loss + weights.offset * jnp.mean(
+                    jnp.abs(p.verts_offset[timestep]))
+            aux = {"l1": ll1, "dssim": ds, "lpips": lp,
+                   "radii": out["radii"], "alpha": out["alpha"],
+                   "visible": visible,
+                   "big_overflow": out["big_overflow"],
+                   "work_overflow": out["work_overflow"]}
+            return loss, aux
 
         floats_in = [l for l, m in zip(flat, fmask) if m]
-        (loss, (aux, _)), fgrads = jax.value_and_grad(
-            lambda fl: loss_fn(recombine(fl)), has_aux=True)(floats_in)
+        m2d0 = jnp.zeros((params.splats.capacity, 2))
+        (loss, aux), (fgrads, vgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(floats_in, m2d0)
+        # pixel-space -> NDC-scale view-space gradient (see docstring)
+        aux["vgrad"] = vgrad * jnp.asarray(
+            [0.5 * width, 0.5 * height], vgrad.dtype)
         it = iter(fgrads)
         grads = jax.tree.unflatten(
             treedef, [next(it) if m else jnp.zeros_like(orig)
@@ -171,6 +225,47 @@ def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
         return params, opt_state, loss, aux
 
     return train_step
+
+
+def evaluate_appearance(avatar: MeshAvatar, params: AvatarParams,
+                        test_dataset, test_camera_index,
+                        active_sh_degree: int, white_bkgd: bool,
+                        lpips_fn=None, tile_capacity: int = 512,
+                        max_items: Optional[int] = None):
+    """Held-out test-set evaluation (train_appearance.py:183-241):
+    renders every (test camera, frame) pair and reports mean L1 / PSNR
+    (+ LPIPS when weights are available)."""
+    from ..utils.losses import psnr
+
+    bg = jnp.ones(3) if white_bkgd else jnp.zeros(3)
+    l1s, psnrs, lps = [], [], []
+    pairs = [(ci, fi) for ci in range(len(test_dataset.camera_list))
+             for fi in range(len(test_dataset.frame_index))]
+    if max_items is not None:
+        pairs = pairs[:max_items]
+    for ci, fi in pairs:
+        batch = test_dataset.load_frame(ci, fi)
+        cam = batch["cam"]
+        t = batch["frame_idx"]
+        cam_idx = test_camera_index[batch["camera_idx"]]
+        rendering, _ = render_avatar_frame(
+            avatar, params, avatar.select_verts(params, t),
+            jnp.asarray(avatar.ao_maps[t]),
+            (camera_arrays(cam), cam.image_width, cam.image_height),
+            cam_idx, active_sh_degree, bg, white_bkgd,
+            tile_capacity=tile_capacity)
+        rendering = jnp.clip(rendering, 0.0, 1.0)
+        gt_rgb = jnp.asarray(batch["rgb"])
+        gt_msk = jnp.asarray(batch["msk"])
+        gt = gt_rgb * gt_msk + (1.0 - gt_msk if white_bkgd else 0.0)
+        l1s.append(float(l1_loss(rendering, gt)))
+        psnrs.append(float(psnr(rendering, gt)))
+        if lpips_fn is not None:
+            lps.append(float(lpips_fn(rendering[None], gt[None])))
+    out = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+    if lps:
+        out["lpips"] = float(np.mean(lps))
+    return out
 
 
 def viewspace_gradients(avatar, params, timestep, cam, camera_idx, gt_rgb,

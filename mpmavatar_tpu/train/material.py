@@ -302,9 +302,11 @@ class MaterialTrainer:
                 jf = jv[jnp.asarray(self.faces[:static.num_joint_f])].mean(1)
             else:
                 jv = jf = None
-            state, t = self.solver.frame(state, model, dt, cfg.substep, t,
-                                         mesh_x=mesh_x, mesh_v=mesh_v,
-                                         joint_verts_v=jv, joint_faces_v=jf)
+            state, t, of = self.solver.frame(
+                state, model, dt, cfg.substep, t, mesh_x=mesh_x,
+                mesh_v=mesh_v, joint_verts_v=jv, joint_faces_v=jf,
+                return_overflow=True)
+            self.solver.check_overflow(of, context=f"simulate frame {i}")
             cloth = self.tf.sim2wld(state.x[static.n_elements:])
             outs.append(np.asarray(cloth))
         return outs

@@ -144,10 +144,19 @@ def read_ply(path):
 
 def write_ply_gaussians(path, xyz, features_dc, features_rest, opacity,
                         scaling, rotation, binding=None):
-    """3DGS checkpoint PLY layout (scene/gaussian_model.py:229-264)."""
+    """3DGS checkpoint PLY layout (scene/gaussian_model.py:229-264).
+
+    f_dc/f_rest follow the reference's channel-major flattening
+    (``transpose(1, 2).flatten`` of (N, coeffs, 3) SH features,
+    gaussian_model.py:262) so PLYs interchange with the reference and
+    standard 3DGS viewers."""
     n = xyz.shape[0]
-    f_dc = np.asarray(features_dc).reshape(n, -1)
-    f_rest = np.asarray(features_rest).reshape(n, -1)
+    f_dc = np.asarray(features_dc)
+    f_dc = (f_dc.transpose(0, 2, 1) if f_dc.ndim == 3 else f_dc
+            ).reshape(n, -1)
+    f_rest = np.asarray(features_rest)
+    f_rest = (f_rest.transpose(0, 2, 1) if f_rest.ndim == 3 else f_rest
+              ).reshape(n, -1)
     attrs = (["x", "y", "z", "nx", "ny", "nz"]
              + [f"f_dc_{i}" for i in range(f_dc.shape[1])]
              + [f"f_rest_{i}" for i in range(f_rest.shape[1])]
@@ -170,15 +179,20 @@ def write_ply_gaussians(path, xyz, features_dc, features_rest, opacity,
 
 
 def read_ply_gaussians(path):
+    """Inverse of write_ply_gaussians: undoes the reference's
+    channel-major f_dc/f_rest flattening back to (N, coeffs, 3)
+    (gaussian_model.py:301-316)."""
     v = _read_ply_raw(path)["vertex"]
     names = list(v.dtype.names)
     xyz = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
     f_dc = np.stack([v[n] for n in names if n.startswith("f_dc_")],
                     1).astype(np.float32)
+    f_dc = f_dc.reshape(len(xyz), 3, -1).transpose(0, 2, 1)
     f_rest_names = sorted([n for n in names if n.startswith("f_rest_")],
                           key=lambda s: int(s.split("_")[-1]))
     f_rest = (np.stack([v[n] for n in f_rest_names], 1).astype(np.float32)
               if f_rest_names else np.zeros((len(xyz), 0), np.float32))
+    f_rest = f_rest.reshape(len(xyz), 3, -1).transpose(0, 2, 1)
     opacity = np.asarray(v["opacity"], np.float32)
     scaling = np.stack([v[n] for n in names if n.startswith("scale_")],
                        1).astype(np.float32)

@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--substeps", type=int, default=400)
     parser.add_argument("--body_obj", default=None)
     parser.add_argument("--column_k", type=int, default=48)
+    parser.add_argument("--mesh_column_k", type=int, default=64,
+                        help="collider-splat slots per column; must cover "
+                        "the max collider faces per (x,y) cell — the frame "
+                        "loop raises on overflow")
     args = parser.parse_args()
 
     verts, faces = build_cloth(args.nx, args.nx, y0=1.3, extent=0.8)
@@ -43,8 +47,8 @@ def main():
         body_v, body_f = read_obj(args.body_obj)
     else:
         body_v, body_f = build_body_sphere(center=(1.0, 0.8, 1.0), r=0.3)
-    solver = MPMSolver(cfg, column_k=args.column_k, mesh_column_k=32,
-                       faces=faces)
+    solver = MPMSolver(cfg, column_k=args.column_k,
+                       mesh_column_k=args.mesh_column_k, faces=faces)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
 
@@ -54,8 +58,10 @@ def main():
     mesh_v = jnp.zeros_like(mesh_x)
     t = 0.0
     for f in range(args.frames):
-        state, t = solver.frame(state, model, dt, args.substeps, t,
-                                mesh_x=mesh_x, mesh_v=mesh_v)
+        state, t, of = solver.frame(state, model, dt, args.substeps, t,
+                                    mesh_x=mesh_x, mesh_v=mesh_v,
+                                    return_overflow=True)
+        solver.check_overflow(of, context=f"frame {f}")
         cloth = np.asarray(state.x)[cfg.n_elements:]
         write_obj(os.path.join(args.out_dir, f"{f:03d}.obj"), cloth, faces)
         print(f"frame {f}: y range [{cloth[:, 1].min():.3f}, "

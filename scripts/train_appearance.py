@@ -33,9 +33,17 @@ def main():
     add_dataclass_args(parser, ModelParams)
     add_dataclass_args(parser, OptimizationParams)
     add_dataclass_args(parser, PipelineParams)
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="npz of LPIPS VGG weights; enables the "
+                        "in-loop lambda_lpips term + test LPIPS")
+    parser.add_argument("--test_iterations", type=int, nargs="+",
+                        default=[7000, 30000])
     args = parser.parse_args()
     cfg = extract_dataclass(args, ModelParams)
     opt = extract_dataclass(args, OptimizationParams)
+
+    from mpmavatar_tpu.utils.lpips_jax import make_lpips_fn
+    lpips_fn = make_lpips_fn(args.lpips_weights)
 
     scene = Scene(cfg, return_type="image")
     avatar, params = load_mesh_avatar(cfg.trained_model_path, cfg.uv_path,
@@ -47,7 +55,6 @@ def main():
     os.makedirs(cfg.model_path, exist_ok=True)
     dump_config(os.path.join(cfg.model_path, "cfg_args.json"), cfg, opt)
 
-    from mpmavatar_tpu.train.appearance import viewspace_gradients
     rng = np.random.default_rng(opt.seed)
     active_sh = 0
     step = None
@@ -60,7 +67,7 @@ def main():
             step = None
         if step is None:
             step = make_train_step(avatar, opt, tx, active_sh,
-                                   cfg.white_bkgd)
+                                   cfg.white_bkgd, lpips_fn=lpips_fn)
         batch = ds.sample(rng)
         cam = batch["cam"]
         t = batch["frame_idx"]
@@ -69,18 +76,15 @@ def main():
             jnp.asarray(batch["rgb"]), jnp.asarray(batch["msk"]),
             jnp.asarray(avatar.ao_maps[t]),
             cam.image_width, cam.image_height)
-        # densification loop (train_appearance.py:245-261)
+        # densification loop (train_appearance.py:245-261); view-space
+        # grads come out of the main backward pass (aux["vgrad"])
         if opt.densify_from_iter <= it < opt.densify_until_iter:
             verts = avatar.select_verts(params, t)
-            vgrad = viewspace_gradients(
-                avatar, params, t, (camera_arrays(cam), cam.image_width,
-                                    cam.image_height), batch["camera_idx"],
-                jnp.asarray(batch["rgb"]), jnp.asarray(batch["msk"]),
-                jnp.asarray(avatar.ao_maps[t]), active_sh, cfg.white_bkgd)
             frames = avatar.frames_for_verts(verts)
             densify_state = G.add_densification_stats(
-                densify_state, vgrad, aux["radii"][:params.splats.capacity],
-                aux["radii"][:params.splats.capacity] > 0)
+                densify_state, aux["vgrad"],
+                aux["radii"][:params.splats.capacity],
+                aux["visible"][:params.splats.capacity])
             if it % opt.densification_interval == 0 and it > 0:
                 splats, densify_state = G.densify_and_prune(
                     params.splats, densify_state, frames, num_faces,
@@ -95,8 +99,24 @@ def main():
                 params = _dc.replace(
                     params, splats=G.reset_opacity(params.splats))
         if it % 100 == 0:
-            print(f"iter {it} loss {float(loss):.5f} "
-                  f"alive {int(np.asarray(params.splats.alive).sum())}",
+            big_of = int(aux["big_overflow"])
+            work_of = int(aux["work_overflow"])
+            msg = (f"iter {it} loss {float(loss):.5f} "
+                   f"l1 {float(aux['l1']):.5f} "
+                   f"lpips {float(aux['lpips']):.5f} "
+                   f"alive {int(np.asarray(params.splats.alive).sum())}")
+            if big_of or work_of:
+                msg += (f"  WARNING rasterizer overflow big={big_of} "
+                        f"work={work_of} — raise capacities")
+            print(msg, flush=True)
+        if (it + 1) in args.test_iterations:
+            from mpmavatar_tpu.train.appearance import evaluate_appearance
+            metrics = evaluate_appearance(
+                avatar, params, scene.test_dataset,
+                scene.test_camera_index, active_sh, cfg.white_bkgd,
+                lpips_fn=lpips_fn)
+            print(f"[iter {it + 1}] test "
+                  + " ".join(f"{k} {v:.5f}" for k, v in metrics.items()),
                   flush=True)
         if it in (7000, opt.iterations - 1):
             out = os.path.join(cfg.model_path, "point_cloud",

@@ -235,7 +235,7 @@ def test_splat_columns_generic_channels():
     for c in (1, 3, 6):
         vals = jnp.asarray(rng.normal(size=(300, c)).astype(np.float32))
         gv_ref, gw_ref = stepping.rasterize_to_grid(cfg, pts, vals, 32 ** 3)
-        gv, gw = ct.splat_columns(cfg, pts, vals, K=32)
+        gv, gw, _of = ct.splat_columns(cfg, pts, vals, K=32)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
                                    atol=5e-6)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
