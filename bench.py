@@ -73,8 +73,11 @@ def main():
     model = types.make_model(cfg.n_particles, E=2000.0, nu=0.3)
 
     body_v, body_f = build_body_sphere()
+    # row budget: occupied columns + ceil-chunks for 100k particles at
+    # K=48 (the flat cloth stacks ~1800 particles per (x, y) column —
+    # chunked rows keep that exact; overflow is asserted zero below)
     solver = MPMSolver(cfg, column_k=48, mesh_column_k=32, faces=faces,
-                       column_c_cap=4096, column_radius=2, rebin_auto=True)
+                       column_c_cap=6144, column_radius=2, rebin_auto=True)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -87,12 +90,14 @@ def main():
     jf = jnp.zeros((cfg.num_joint_f, 3), jnp.float32)
 
     def run_frame(st):
-        st, _ = solver.frame(st, model, dt, substeps, 0.0,
-                             mesh_x=mesh_x, mesh_v=mesh_v,
-                             joint_verts_v=jv, joint_faces_v=jf)
-        return st
+        st, _, of = solver.frame(st, model, dt, substeps, 0.0,
+                                 mesh_x=mesh_x, mesh_v=mesh_v,
+                                 joint_verts_v=jv, joint_faces_v=jf,
+                                 return_overflow=True)
+        return st, of
 
-    run = jax.jit(run_frame)
+    run_checked = jax.jit(run_frame)
+    run = jax.jit(lambda st: run_frame(st)[0])
 
     def sync(st):
         # device->host transfer: genuinely waits for completion (the
@@ -100,7 +105,9 @@ def main():
         float(jnp.sum(st.x))
         return st
 
-    state = sync(run(state))                          # compile + warmup
+    state, of = run_checked(state)                    # compile + warmup
+    solver.check_overflow(of, "bench warmup frame")   # honest workload
+    state = sync(state)
     state = sync(run(state))
 
     n_frames = 5

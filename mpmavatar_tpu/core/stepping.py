@@ -533,7 +533,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
                           "column_radius", "column_bf16",
-                          "column_gather", "return_overflow"))
+                          "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -550,7 +550,6 @@ def p2g2p(cfg: MPMStaticConfig,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
           column_bf16: bool = False,
-          column_gather: bool = False,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None,
           return_overflow: bool = False) -> MPMState:
@@ -609,9 +608,8 @@ def p2g2p(cfg: MPMStaticConfig,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         bins = (column_bins if column_bins is not None else
-                _ct.build_bins(state.x, cfg, column_k, c_cap=column_c_cap,
-                               radius=(column_radius if column_gather
-                                       else None)))
+                _ct.build_bins(state.x, cfg, column_k,
+                               c_cap=column_c_cap))
         geom = _ct.pack_geometry(
             cfg, state.x, bins, radius=column_radius,
             zb_dtype=(jnp.bfloat16 if column_bf16 else None))

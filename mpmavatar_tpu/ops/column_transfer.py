@@ -37,41 +37,39 @@ from ..core.types import MPMState, MPMStaticConfig
 
 
 class ColumnBins(NamedTuple):
-    active_col: jnp.ndarray  # (C,) occupied column ids (sentinel G*G)
+    active_col: jnp.ndarray  # (C,) column id per ROW (sentinel G*G);
+    #                          a column with > K points spans several rows
     pid: jnp.ndarray         # (C, K) particle index (sentinel = P)
     valid: jnp.ndarray       # (C, K) bool
-    cidx_of_p: jnp.ndarray   # (P,) active-column index of each particle
-    rank_of_p: jnp.ndarray   # (P,) slot of each particle (may be >= K)
-    overflow: jnp.ndarray    # () int32: particles dropped (slot or col cap)
-    # gather-accumulate tables (built when build_bins gets a radius):
-    ex_col: Optional[jnp.ndarray] = None   # (Ce,) expanded col ids
-    ex_src: Optional[jnp.ndarray] = None   # (Ce, S) active-col index or C
-    ex_overflow: Optional[jnp.ndarray] = None  # () int32 dropped columns
+    cidx_of_p: jnp.ndarray   # (P,) row index of each particle
+    rank_of_p: jnp.ndarray   # (P,) slot within the row (K+1 = dropped)
+    overflow: jnp.ndarray    # () int32: particles dropped (row cap)
 
 
 def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
-    """Heuristic occupied-column cap for a point population."""
-    return min(cfg.n_grid * cfg.n_grid, max(1024, n_points // 8))
+    """Heuristic row cap: occupied columns + chunk rows for the points."""
+    return min(cfg.n_grid * cfg.n_grid + n_points,
+               max(1024, n_points // 8))
 
 
 def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
-               c_cap: Optional[int] = None,
-               radius: Optional[int] = None,
-               exp_cap: Optional[int] = None) -> ColumnBins:
-    """Sort-and-pack points by (x, y) base-cell column, compacted to the
-    occupied columns.
+               c_cap: Optional[int] = None) -> ColumnBins:
+    """Sort-and-pack points by (x, y) base-cell column into (row, slot)
+    tables of K slots per row.
 
-    Cost note (TPU v5e): built from exactly TWO multi-operand
-    ``lax.sort`` calls.  Everything per-particle (segment id, in-column
-    rank, original-order restore) rides the sorts as payload — the
-    earlier formulation's P-sized ``jnp.searchsorted`` lookups compile
-    to ~17 serial gather rounds each and dominated the cost (26.7 ms ->
-    ~4 ms at 100k points).
+    A column holding n > K points occupies ceil(n/K) consecutive ROWS
+    (same ``active_col`` id) — P2G's column scatter adds the chunks back
+    together and G2P gathers the same grid column for each chunk, so any
+    per-column population is exact up to the total row cap ``c_cap``.
+    (A fixed one-row-per-column table silently dropped all but K points
+    of dense columns — e.g. a horizontal cloth stacks thousands of
+    points into a handful of (x, y) columns.)
 
-    With ``radius`` given, also builds the gather-accumulate tables
-    (expanded column set = active set dilated by the shift window, and a
-    per-shift source index) so P2G can replace its S row-scatters with
-    row gathers — XLA scatter is ~8x slower per row than gather on TPU."""
+    Cost note (TPU v5e): exactly TWO multi-operand ``lax.sort`` calls.
+    Everything per-particle (segment id, in-column rank, original-order
+    restore) rides the sorts as payload — P-sized ``jnp.searchsorted``
+    lookups compile to ~17 serial gather rounds each and dominated the
+    earlier formulation (26.7 ms -> ~4 ms at 100k points)."""
     G = cfg.n_grid
     P = x.shape[0]
     if c_cap is None:
@@ -90,63 +88,49 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     # running max over flagged positions — no searchsorted)
     seg_start = jax.lax.cummax(jnp.where(flags > 0, iota, 0))
     rank_sorted = iota - seg_start
-    # per-active-column first position / count: c_cap-sized binary
-    # searches into the sorted segment ids (cheap; log2(P) gathers of
-    # c_cap rows)
+    # per-segment first position / count: c_cap-sized binary searches
+    # into the sorted segment ids (cheap: log2(P) gathers of c_cap rows).
+    # Segments beyond c_cap overflow by construction (rows >= segments).
     first_pos = jnp.searchsorted(seg_id, jnp.arange(c_cap + 1)
                                  ).astype(jnp.int32)
-    n_active = seg_id[-1] + 1
-    active_col = jnp.where(jnp.arange(c_cap) < n_active,
-                           sorted_col[jnp.clip(first_pos[:c_cap], 0,
-                                               P - 1)], G * G)
-    count = first_pos[1:] - first_pos[:c_cap + 1][:-1]
+    n_seg = seg_id[-1] + 1
+    seg_col = jnp.where(jnp.arange(c_cap) < n_seg,
+                        sorted_col[jnp.clip(first_pos[:c_cap], 0,
+                                            P - 1)], G * G)
+    seg_count = first_pos[1:] - first_pos[:-1]
+    rows_per_seg = (seg_count + K - 1) // K
+    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(rows_per_seg)
+                               .astype(jnp.int32)])    # (c_cap+1,)
+    total_rows = row_off[-1]
+
+    # per-row tables: segment of row r, chunk index within the segment
+    r = jnp.arange(c_cap)
+    s_of_r = jnp.clip(jnp.searchsorted(row_off, r, side="right") - 1,
+                      0, c_cap - 1)
+    valid_row = r < total_rows
+    active_col = jnp.where(valid_row, seg_col[s_of_r], G * G)
+    chunk = r - row_off[s_of_r]
+    row_start = first_pos[s_of_r] + chunk * K
+    row_count = jnp.where(valid_row,
+                          jnp.clip(seg_count[s_of_r] - chunk * K, 0, K), 0)
 
     slots = jnp.arange(K)
-    idx = first_pos[:c_cap, None] + slots[None, :]
-    valid = slots[None, :] < jnp.minimum(count, K)[:, None]
+    idx = row_start[:, None] + slots[None, :]
+    valid = slots[None, :] < row_count[:, None]
     pid = jnp.where(valid, perm[jnp.clip(idx, 0, P - 1)], P)
 
-    # sort 2: restore original particle order, carrying (rank, col idx)
-    rank_capped = jnp.where(seg_id < c_cap, rank_sorted,
-                            K + 1).astype(jnp.int32)
-    cidx_sorted = jnp.clip(seg_id, 0, c_cap - 1).astype(jnp.int32)
+    # per-particle row / in-row slot, restored to original order (sort 2)
+    row_of_p = row_off[jnp.clip(seg_id, 0, c_cap - 1)] + rank_sorted // K
+    ok = (seg_id < c_cap) & (row_of_p < c_cap)
+    rank_capped = jnp.where(ok, rank_sorted % K, K + 1).astype(jnp.int32)
+    row_capped = jnp.clip(row_of_p, 0, c_cap - 1).astype(jnp.int32)
     _, rank_of_p, cidx_of_p = jax.lax.sort(
-        (perm, rank_capped, cidx_sorted), num_keys=1)
+        (perm, rank_capped, row_capped), num_keys=1)
     overflow = jnp.sum((rank_of_p >= K).astype(jnp.int32))
-    bins = ColumnBins(active_col=active_col, pid=pid, valid=valid,
+    return ColumnBins(active_col=active_col, pid=pid, valid=valid,
                       cidx_of_p=cidx_of_p,
                       rank_of_p=rank_of_p, overflow=overflow)
-    if radius is None:
-        return bins
-    if exp_cap is None:
-        exp_cap = min(G * G, 2 * c_cap)
-    targets = _shift_columns(bins, G, radius)         # (C, S)
-    cand = jnp.sort(targets.reshape(-1))              # sentinels sort last
-    uniq_flags = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (cand[1:] != cand[:-1]).astype(jnp.int32)])
-    uniq_flags = jnp.where(cand >= G * G, 0, uniq_flags)
-    uniq_id = jnp.cumsum(uniq_flags) - 1
-    n_uniq = uniq_id[-1] + 1
-    first = jnp.searchsorted(uniq_id, jnp.arange(exp_cap))
-    in_range = jnp.arange(exp_cap) < n_uniq
-    ex_col = jnp.where(in_range,
-                       cand[jnp.clip(first, 0, cand.shape[0] - 1)], G * G)
-    ex_cx, ex_cy = ex_col // G, ex_col % G
-    srcs = []
-    for (i, j) in shift_set(radius):
-        sx = ex_cx - i
-        sy = ex_cy - j
-        ok = ((ex_col < G * G) & (sx >= 0) & (sy >= 0)
-              & (sx < G) & (sy < G))
-        src_id = sx * G + sy
-        idx = jnp.clip(jnp.searchsorted(active_col, src_id), 0, c_cap - 1)
-        ok = ok & (active_col[idx] == src_id)
-        srcs.append(jnp.where(ok, idx, c_cap))
-    ex_src = jnp.stack(srcs, 1).astype(jnp.int32)
-    ex_overflow = jnp.maximum(n_uniq - exp_cap, 0).astype(jnp.int32)
-    return bins._replace(ex_col=ex_col, ex_src=ex_src,
-                         ex_overflow=ex_overflow)
 
 
 def _packed_gather(arr, pid, fill=0.0):
@@ -278,23 +262,10 @@ def _shift_columns(bins: ColumnBins, G: int, radius: int = 1):
 
 
 def _scatter_columns(out, bins, G, n_ch, radius: int = 1):
-    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid.
-
-    With gather tables on ``bins`` (build_bins(..., radius=r)): gather
-    each expanded column's <=S contributing source columns and do ONE
-    C_e-row scatter of unique rows; otherwise fall back to S row
-    scatters of C rows each (row-serial scatter cost is bounded by the
-    active-column cap, not the particle count)."""
-    if bins.ex_src is not None:
-        S = out.shape[-1]
-        out_pad = jnp.concatenate(
-            [out, jnp.zeros((1,) + out.shape[1:], out.dtype)], 0)
-        acc = out_pad[bins.ex_src[:, 0], :, :, 0]
-        for s in range(1, S):
-            acc = acc + out_pad[bins.ex_src[:, s], :, :, s]
-        grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
-        grid = grid.at[bins.ex_col].add(acc, mode="drop")
-        return grid[:G * G]
+    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid
+    via S row scatters of C rows each (row-serial scatter cost is
+    bounded by the row cap, not the particle count).  Duplicate rows of
+    a chunked column accumulate through the scatter-add."""
     targets = _shift_columns(bins, G, radius)
     grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
     for s in range(targets.shape[1]):

@@ -48,7 +48,7 @@ class MPMSolver:
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 column_gather: bool = False, rebin_auto: bool = False):
+                 rebin_auto: bool = False):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -62,7 +62,6 @@ class MPMSolver:
         self.rebin_every = rebin_every
         self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
-        self.column_gather = column_gather
         if rebin_every > 1 or rebin_auto:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
@@ -234,7 +233,6 @@ class MPMSolver:
                               column_c_cap=self.column_c_cap,
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
-                              column_gather=self.column_gather,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -264,9 +262,7 @@ class MPMSolver:
         def _rebuild(x):
             from ..ops import column_transfer as _ct
             return _ct.build_bins(
-                x, cfg, self.column_k, c_cap=self.column_c_cap,
-                radius=(self.column_radius if self.column_gather
-                        else None))
+                x, cfg, self.column_k, c_cap=self.column_c_cap)
 
         def body(carry, s):
             if amortized:
@@ -296,8 +292,7 @@ class MPMSolver:
                                        column_c_cap=self.column_c_cap,
                                        column_radius=self.column_radius,
                                        column_bf16=self.column_bf16,
-                                       column_gather=self.column_gather,
-                                       column_bins=bins,
+                                                column_bins=bins,
                                        vf_incidence=self.vf_incidence,
                                        return_overflow=True, **kw)
             of = jnp.maximum(of, st_of)

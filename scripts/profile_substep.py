@@ -65,7 +65,6 @@ def main():
     vf_inc = jnp.asarray(ct.build_vertex_incidence(faces, cfg.n_vertices))
 
     bins = ct.build_bins(state.x, cfg, K, c_cap=CAP)
-    binsg = ct.build_bins(state.x, cfg, K, c_cap=CAP, radius=1)
     geom = ct.pack_geometry(cfg, state.x, bins)
     st1 = solver.substep(state, model, dt, 0.0, mesh_x=mesh_x,
                          mesh_v=mesh_v, joint_verts_v=jv, joint_faces_v=jf)
@@ -91,8 +90,6 @@ def main():
         return ms
 
     timeit("bins", lambda xx: ct.build_bins(xx, cfg, K, c_cap=CAP), state.x)
-    timeit("bins_g", lambda xx: ct.build_bins(xx, cfg, K, c_cap=CAP,
-                                              radius=1), state.x)
     timeit("geom", lambda xx: ct.pack_geometry(cfg, xx, bins), state.x)
     timeit("stress",
            lambda st: stepping.compute_stress(cfg, st, model, dt,
@@ -102,11 +99,10 @@ def main():
                               dt * v_, K, bins=b_, geom=g_, **kw)
 
     timeit("p2g_scat", _p2g, state, bins, geom, stress, vforce)
-    timeit("p2g_gath", _p2g, state, binsg, geom, stress, vforce)
     timeit("p2g_bf16",
            lambda st_, b_, g_, s_, v_: _p2g(st_, b_, g_, s_, v_,
                                             bf16=True),
-           state, binsg, geom, stress, vforce)
+           state, bins, geom, stress, vforce)
     timeit("g2p",
            lambda st_, b_, gm_, g_: ct.g2p_columns(cfg, st_, g_, K,
                                                    bins=b_, geom=gm_),

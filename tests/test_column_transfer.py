@@ -72,7 +72,11 @@ def test_g2p_columns_matches_gather():
 
 def test_bins_overflow_detection():
     cfg, state, model, stress, vforce, dt = _setup()
-    bins = ct.build_bins(state.x, cfg, 2)  # tiny K -> must overflow
+    # tiny K alone must NOT overflow: dense columns chunk across rows
+    bins = ct.build_bins(state.x, cfg, 2)
+    assert int(bins.overflow) == 0
+    # exceeding the total ROW cap must be reported
+    bins = ct.build_bins(state.x, cfg, 2, c_cap=4)
     assert int(bins.overflow) > 0
 
 
@@ -264,19 +268,27 @@ def test_bf16_transfer_mode():
     assert np.isfinite(np.asarray(st.x)).all()
 
 
-def test_gather_accumulate_frame_parity():
-    """column_gather=True (gather-accumulate P2G) reproduces the scatter
-    path bitwise over a multi-substep frame, incl. amortized rebinning."""
+def test_chunked_rows_dense_columns():
+    """A column holding many more than K particles spans multiple rows
+    and stays EXACT: the flat horizontal cloth stacks whole mesh rows
+    into single (x, y) columns (this silently dropped 97% of the round-1
+    bench scene before chunked rows)."""
     from mpmavatar_tpu.sim import MPMSolver
-    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.5)
+    verts, faces = make_cloth(nx=17, ny=17, y0=1.1, extent=0.5)
     _, cfg, state, model = build_pair(verts, faces, E=200.0)
 
-    def run(**kw):
-        s = MPMSolver(cfg, column_k=64, faces=faces, **kw)
-        st, _ = s.frame(state, model, 2e-4, 10, 0.0)
-        return np.asarray(st.x)
+    # tiny K forces every occupied column to span many chunk rows
+    bins = ct.build_bins(state.x, cfg, K=8, c_cap=512)
+    assert int(bins.overflow) == 0
+    dup = np.asarray(bins.active_col)
+    dup = dup[dup < cfg.n_grid * cfg.n_grid]
+    assert len(dup) > len(np.unique(dup))     # chunking engaged
 
-    for kw in ({}, {"column_radius": 2, "rebin_every": 4}):
-        a = run(column_gather=False, **kw)
-        g = run(column_gather=True, **kw)
-        np.testing.assert_allclose(g, a, atol=1e-7)
+    s_col = MPMSolver(cfg, column_k=8, column_c_cap=512, faces=faces)
+    st_c, _, of = s_col.frame(state, model, 2e-4, 10, 0.0,
+                              return_overflow=True)
+    assert int(of) == 0
+    s_ref = MPMSolver(cfg, column_k=0)
+    st_r, _ = s_ref.frame(state, model, 2e-4, 10, 0.0)
+    np.testing.assert_allclose(np.asarray(st_c.x), np.asarray(st_r.x),
+                               atol=1e-5)
