@@ -532,7 +532,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
-                          "column_radius", "column_bf16",
+                          "column_radius", "column_bf16", "column_pallas",
                           "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
@@ -550,6 +550,7 @@ def p2g2p(cfg: MPMStaticConfig,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
           column_bf16: bool = False,
+          column_pallas: bool = False,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None,
           return_overflow: bool = False) -> MPMState:
@@ -610,19 +611,27 @@ def p2g2p(cfg: MPMStaticConfig,
         bins = (column_bins if column_bins is not None else
                 _ct.build_bins(state.x, cfg, column_k,
                                c_cap=column_c_cap))
-        geom = _ct.pack_geometry(
-            cfg, state.x, bins, radius=column_radius,
-            zb_dtype=(jnp.bfloat16 if column_bf16 else None))
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C
         c_eff = (1.0 - rd) * c + rd / 2.0 * (c - jnp.swapaxes(c, -1, -2))
         c_eff = jnp.where(rd < -0.001, 0.0, c_eff)
         nnv = cfg.n_no_vertices
-        grid_v_in, grid_m = _ct.p2g_columns(
-            cfg, state, dt * sel[:nnv, None, None] * stress,
-            dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-            radius=column_radius, geom=geom, bf16=column_bf16)
+        if column_pallas:
+            from ..ops import pallas_transfer as _pt
+            geom = None
+            grid_v_in, grid_m = _pt.p2g_columns_fused(
+                cfg, state, dt * sel[:nnv, None, None] * stress,
+                dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
+                radius=column_radius, bf16=column_bf16)
+        else:
+            geom = _ct.pack_geometry(
+                cfg, state.x, bins, radius=column_radius,
+                zb_dtype=(jnp.bfloat16 if column_bf16 else None))
+            grid_v_in, grid_m = _ct.p2g_columns(
+                cfg, state, dt * sel[:nnv, None, None] * stress,
+                dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
+                radius=column_radius, geom=geom, bf16=column_bf16)
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
@@ -646,7 +655,13 @@ def p2g2p(cfg: MPMStaticConfig,
     for col in colliders.grid_post:
         grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time, dt)
 
-    if column_k > 0:
+    if column_k > 0 and column_pallas:
+        from ..ops import pallas_transfer as _pt
+        gathered = _pt.g2p_columns_fused(cfg, state, grid_v_out,
+                                         column_k, bins=bins,
+                                         radius=column_radius,
+                                         bf16=column_bf16)
+    elif column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
                                    bins=bins, radius=column_radius,

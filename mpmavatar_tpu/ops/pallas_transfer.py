@@ -1,0 +1,406 @@
+"""Pallas-fused column P2G/G2P transfer kernels.
+
+The XLA column path (ops.column_transfer) materializes the z-basis
+tensor (C*K*3*G floats — ~300 MB at bench scale), the xy-weight tables
+and the coefficient tensor in HBM between elementwise passes and the
+transfer einsums; the profile shows those round-trips cost ~3-5x the
+matmuls themselves.  These kernels build basis + weights + coefficients
+in VMEM per column block and feed the MXU directly — the only HBM
+traffic is the packed inputs and the (C, G, 4S) output.
+
+Design notes:
+  * One jnp "math" function per transfer defines the computation; it is
+    traced INSIDE the Pallas kernel for the fused forward and in plain
+    XLA for the custom-VJP backward — single source of truth, exact
+    parity with ops.column_transfer by construction
+    (tests/test_pallas_transfer.py).
+  * Row basis is basis-major (m = basis*K + k) and the output/gather
+    channel axis is channel-major (n = ch*S + s) so the kernel needs no
+    lane-dimension reshapes (Mosaic-friendly static concats/slices).
+  * Differentiable via jax.custom_vjp: backward re-traces the jnp math
+    with jax.vjp (gradients flow to positions, velocities, stresses and
+    grid velocities exactly as in the XLA path).
+
+Replaces the inner loop of the reference Warp kernels p2g_apic_with_stress
+/ g2p (/root/reference/warp_mpm/mpm_utils.py:455-557,575-660) on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import MPMStaticConfig
+from .column_transfer import (ColumnBins, _packed_gather, _scatter_columns,
+                              _shift_columns, shift_set)
+
+
+def _axis_weights(f, inv_dx):
+    """Quadratic B-spline weights / derivatives per tap (…, 3)."""
+    wa = 1.5 - f
+    wb = f - 1.0
+    wc = f - 0.5
+    w = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
+    dw = jnp.stack([f - 1.5, -2.0 * (f - 1.0), f - 0.5], -1) * inv_dx
+    return w, dw
+
+
+def _tap_select(o, table):
+    """table[..., o] with o in {0,1,2} (out-of-range -> 0), branch-free."""
+    out = jnp.zeros_like(table[..., 0])
+    for q in range(3):
+        out = out + (o == q).astype(table.dtype) * table[..., q]
+    return out
+
+
+def _geometry(px, colxy, inv_dx, G, shifts):
+    """Shared stencil geometry for one block.
+
+    px (B, K, 3) positions, colxy (B, 2) binned column.  Returns
+    (zmat (B, 3K, G) basis-major, wxy/dxwy/wxdy/dpx/dpy each (B, K, S)).
+    """
+    B, K = px.shape[0], px.shape[1]
+    g = px * inv_dx
+    base = jnp.floor(g - 0.5).astype(jnp.int32)
+    f = g - base.astype(px.dtype)
+    wx, dwx = _axis_weights(f[..., 0], inv_dx)
+    wy, dwy = _axis_weights(f[..., 1], inv_dx)
+    wz, dwz = _axis_weights(f[..., 2], inv_dx)
+
+    # z basis over the full lane axis: Z0 = wz, Z1 = (o - fz)*wz, Z2 = dwz
+    zline = jax.lax.broadcasted_iota(jnp.int32, (B, K, G), 2)
+    fz = f[..., 2]
+    z0 = jnp.zeros(px.shape[:2] + (G,), px.dtype)
+    z1 = jnp.zeros_like(z0)
+    z2 = jnp.zeros_like(z0)
+    for o in range(3):
+        hit = (zline == (base[..., 2] + o)[..., None]).astype(px.dtype)
+        z0 = z0 + hit * wz[..., o, None]
+        z1 = z1 + hit * ((float(o) - fz) * wz[..., o])[..., None]
+        z2 = z2 + hit * dwz[..., o, None]
+    zmat = jnp.concatenate([z0, z1, z2], axis=1)          # (B, 3K, G)
+
+    drift = base[..., :2] - colxy[:, None, :]             # (B, K, 2)
+    wxy_l, dxwy_l, wxdy_l, dpx_l, dpy_l = [], [], [], [], []
+    for (i, j) in shifts:
+        ox = i - drift[..., 0]
+        oy = j - drift[..., 1]
+        wvx = _tap_select(ox, wx)
+        dvx = _tap_select(ox, dwx)
+        wvy = _tap_select(oy, wy)
+        dvy = _tap_select(oy, dwy)
+        wxy_l.append(wvx * wvy)
+        dxwy_l.append(dvx * wvy)
+        wxdy_l.append(wvx * dvy)
+        dpx_l.append(ox.astype(px.dtype) - f[..., 0])
+        dpy_l.append(oy.astype(px.dtype) - f[..., 1])
+    st = lambda lst: jnp.stack(lst, axis=-1)              # (B, K, S)
+    return zmat, st(wxy_l), st(dxwy_l), st(wxdy_l), st(dpx_l), st(dpy_l)
+
+
+def _p2g_math(px, pattr, colxy, inv_dx, dx, G, shifts, bf16):
+    """(B,K,3) x (B,K,27) -> (B, G, 4S) column contributions.
+
+    pattr rows: [v(3), C_eff(9), mass, sel, stress(9), vforce(3),
+    is_vertex] pre-scaled exactly as ops.column_transfer.p2g_columns."""
+    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px, colxy, inv_dx, G,
+                                                shifts)
+    pv = pattr[..., 0:3]
+    pC = pattr[..., 3:12]
+    pmass = pattr[..., 12]
+    psel = pattr[..., 13]
+    pstress = pattr[..., 14:23]
+    pvf = pattr[..., 23:26]
+    pisv = pattr[..., 26]
+    not_v = 1.0 - pisv
+    msel = pmass * psel
+
+    # per-channel (x, y, z, mass) coefficient blocks, basis-major rows.
+    # alpha rides Z0, beta rides Z1, gamma rides Z2 (see _z_bases).
+    blocks = []
+    for ch in range(3):
+        mv = (msel * pv[..., ch])[..., None]              # (B,K,1)
+        mC0 = (msel * pC[..., 3 * ch + 0])[..., None]
+        mC1 = (msel * pC[..., 3 * ch + 1])[..., None]
+        mC2 = (msel * pC[..., 3 * ch + 2])[..., None]
+        s0 = (psel * not_v * pstress[..., 3 * ch + 0])[..., None]
+        s1 = (psel * not_v * pstress[..., 3 * ch + 1])[..., None]
+        s2 = (psel * not_v * pstress[..., 3 * ch + 2])[..., None]
+        fv = (psel * pisv * pvf[..., ch])[..., None]
+        alpha = (mv + (mC0 * dpx + mC1 * dpy) * dx) * wxy \
+            + fv * wxy - (s0 * dxwy + s1 * wxdy)
+        beta = mC2 * dx * wxy
+        gamma = -s2 * wxy
+        blocks.append(jnp.concatenate([alpha, beta, gamma], axis=1))
+    am = (msel[..., None] * wxy)
+    zeros = jnp.zeros_like(am)
+    blocks.append(jnp.concatenate([am, zeros, zeros], axis=1))
+    coeff = jnp.concatenate(blocks, axis=-1)              # (B, 3K, 4S)
+
+    if bf16:
+        zmat = zmat.astype(jnp.bfloat16)
+        coeff = coeff.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        zmat, coeff, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (B, G, 4S)
+
+
+def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
+    """(B,K,3) x (B,G,3S) -> (B, K, 21) = [v(3), C(9), grad_v(9)].
+
+    g_all channel-major: n = ch*S + s of the gathered grid columns."""
+    S = len(shifts)
+    K = px.shape[1]
+    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px, colxy, inv_dx, G,
+                                                shifts)
+    if bf16:
+        acc = jax.lax.dot_general(
+            zmat.astype(jnp.bfloat16), g_all.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (B, 3K, 3S)
+    else:
+        acc = jax.lax.dot_general(
+            zmat, g_all, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    def block(basis, ch):                                 # (B, K, S)
+        return acc[:, basis * K:(basis + 1) * K, ch * S:(ch + 1) * S]
+
+    outs = []
+    red = lambda w, t: jnp.sum(w * t, axis=-1)            # (B, K)
+    v0 = [block(0, ch) for ch in range(3)]
+    v1 = [block(1, ch) for ch in range(3)]
+    v2 = [block(2, ch) for ch in range(3)]
+    new_v = [red(wxy, v0[ch]) for ch in range(3)]
+    outs += new_v
+    four = 4.0 * inv_dx
+    for ch in range(3):                                   # C rows
+        outs.append(four * red(wxy * dpx, v0[ch]))
+        outs.append(four * red(wxy * dpy, v0[ch]))
+        outs.append(four * red(wxy, v1[ch]))
+    for ch in range(3):                                   # grad_v rows
+        outs.append(red(dxwy, v0[ch]))
+        outs.append(red(wxdy, v0[ch]))
+        outs.append(red(wxy, v2[ch]))
+    return jnp.stack(outs, axis=-1)                       # (B, K, 21)
+
+
+# ----------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------
+def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
+                block_c, interpret):
+    C, K, _ = px.shape
+    S = len(shifts)
+
+    def kernel(px_ref, attr_ref, col_ref, out_ref):
+        out_ref[...] = _p2g_math(px_ref[...], attr_ref[...],
+                                 col_ref[...], inv_dx, dx, G, shifts,
+                                 bf16)
+
+    nb = C // block_c
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_c, K, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, K, 27), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_c, G, 4 * S), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, G, 4 * S), jnp.float32),
+        interpret=interpret,
+    )(px, pattr, colxy_f)
+
+
+def _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
+                interpret):
+    C, K, _ = px.shape
+    S = len(shifts)
+
+    def kernel(px_ref, g_ref, col_ref, out_ref):
+        out_ref[...] = _g2p_math(px_ref[...], g_ref[...], col_ref[...],
+                                 inv_dx, G, shifts, bf16)
+
+    nb = C // block_c
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_c, K, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, G, 3 * S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_c, K, 21), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, K, 21), jnp.float32),
+        interpret=interpret,
+    )(px, g_all, colxy_f)
+
+
+# ----------------------------------------------------------------------
+# custom-VJP entry points (forward = Pallas, backward = XLA re-trace)
+# ----------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _p2g_fused(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16, block_c,
+               interpret):
+    return _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
+                       block_c, interpret)
+
+
+def _p2g_fused_fwd(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
+                   block_c, interpret):
+    out = _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
+                      block_c, interpret)
+    return out, (px, pattr, colxy_f)
+
+
+def _p2g_fused_bwd(inv_dx, dx, G, shifts, bf16, block_c, interpret,
+                   res, g):
+    px, pattr, colxy_f = res
+    _, vjp = jax.vjp(
+        lambda a, b: _p2g_math(a, b, colxy_f, inv_dx, dx, G, shifts,
+                               bf16), px, pattr)
+    dpx, dattr = vjp(g)
+    return dpx, dattr, jnp.zeros_like(colxy_f)
+
+
+_p2g_fused.defvjp(_p2g_fused_fwd, _p2g_fused_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _g2p_fused(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
+               interpret):
+    return _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16,
+                       block_c, interpret)
+
+
+def _g2p_fused_fwd(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
+                   interpret):
+    out = _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16,
+                      block_c, interpret)
+    return out, (px, g_all, colxy_f)
+
+
+def _g2p_fused_bwd(inv_dx, G, shifts, bf16, block_c, interpret, res, g):
+    px, g_all, colxy_f = res
+    _, vjp = jax.vjp(
+        lambda a, b: _g2p_math(a, b, colxy_f, inv_dx, G, shifts, bf16),
+        px, g_all)
+    dpx, dg = vjp(g)
+    return dpx, dg, jnp.zeros_like(colxy_f)
+
+
+_g2p_fused.defvjp(_g2p_fused_fwd, _g2p_fused_bwd)
+
+
+# ----------------------------------------------------------------------
+# public API (drop-in siblings of column_transfer.p2g_columns/g2p_columns)
+# ----------------------------------------------------------------------
+def _interpret_default():
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block(c_cap: int, block_c: int) -> int:
+    while block_c > 1 and c_cap % block_c:
+        block_c //= 2
+    return max(block_c, 1)
+
+
+def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
+                      K: int, bins: ColumnBins, c_eff=None,
+                      radius: int = 1, bf16: bool = False,
+                      block_c: int = 16, interpret=None):
+    """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
+
+    ``stress``/``vertex_force`` pre-scaled by dt*selection as in
+    column_transfer.p2g_columns; ``c_eff`` is the RPIC-damped affine
+    field (defaults to state.C).  Returns (grid_v_in (G^3,3), grid_m)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    block_c = _pick_block(bins.pid.shape[0], block_c)
+    E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
+    P, G, dx = cfg.n_particles, cfg.n_grid, cfg.dx
+    dtype = state.x.dtype
+    pid = bins.pid
+
+    stress_eff = jnp.zeros((P, 3, 3), dtype)
+    if E > 0:
+        stress_eff = stress_eff.at[:E].set(stress[:E])
+    if T > 0:
+        stress_eff = stress_eff.at[E:E + T].set(
+            state.vol[E:E + T, None, None] * stress[E:E + T])
+    vforce = jnp.zeros((P, 3), dtype)
+    if V > 0:
+        vforce = vforce.at[E + T:].set(vertex_force)
+    is_vertex = jnp.zeros((P,), dtype).at[E + T:].set(1.0)
+    sel = (state.selection == 0).astype(dtype)
+    mass = state.mass
+    c_use = state.C if c_eff is None else c_eff
+
+    attr = jnp.concatenate(
+        [state.v, c_use.reshape(P, 9), mass[:, None], sel[:, None],
+         stress_eff.reshape(P, 9), vforce, is_vertex[:, None]], axis=1)
+    px = _packed_gather(state.x, pid, fill=-1e6)  # sentinel: zero weights
+    pattr = _packed_gather(attr, pid)
+    col = bins.active_col
+    colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
+
+    shifts = tuple(shift_set(radius))
+    out = _p2g_fused(px, pattr, colxy_f, float(cfg.inv_dx), float(dx), G,
+                     shifts, bf16, block_c, interpret)
+    out = out.reshape(pid.shape[0], G, 4, len(shifts))
+    grid = _scatter_columns(out, bins, G, 4, radius).reshape(G * G * G, 4)
+    return grid[:, :3], grid[:, 3]
+
+
+def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
+                      bins: ColumnBins, radius: int = 1,
+                      bf16: bool = False, block_c: int = 16,
+                      interpret=None):
+    """Fused-Pallas g2p_columns: returns (new_v, new_C, grad_v) in
+    original particle order (same contract as column_transfer)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    block_c = _pick_block(bins.pid.shape[0], block_c)
+    G, P = cfg.n_grid, cfg.n_particles
+    dtype = state.x.dtype
+    pid = bins.pid
+    C_cap = pid.shape[0]
+    shifts = tuple(shift_set(radius))
+    S = len(shifts)
+
+    grid = grid_v_out.reshape(G * G, G, 3)
+    grid_pad = jnp.concatenate([grid, jnp.zeros((1, G, 3), dtype)], 0)
+    tcols = _shift_columns(bins, G, radius)               # (C, S)
+    gcols = grid_pad[tcols]                               # (C, S, Gz, 3)
+    # channel-major lanes: n = ch*S + s
+    g_all = gcols.transpose(0, 2, 3, 1).reshape(C_cap, G, 3 * S)
+
+    px = _packed_gather(state.x, pid, fill=-1e6)
+    col = bins.active_col
+    colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
+
+    packed = _g2p_fused(px, g_all, colxy_f, float(cfg.inv_dx), G, shifts,
+                        bf16, block_c, interpret)         # (C, K, 21)
+
+    cidx = bins.cidx_of_p
+    rank = jnp.clip(bins.rank_of_p, 0, K - 1)
+    in_table = (bins.rank_of_p < K)
+    vals = packed[cidx, rank]
+    vals = jnp.where(in_table[:, None], vals, 0.0)
+    new_v = vals[:, 0:3]
+    new_c = vals[:, 3:12].reshape(P, 3, 3)
+    grad_v = vals[:, 12:21].reshape(P, 3, 3)
+    return new_v, new_c, grad_v

@@ -48,7 +48,7 @@ class MPMSolver:
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 rebin_auto: bool = False):
+                 rebin_auto: bool = False, column_pallas: bool = False):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -62,6 +62,7 @@ class MPMSolver:
         self.rebin_every = rebin_every
         self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
+        self.column_pallas = column_pallas
         if rebin_every > 1 or rebin_auto:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
@@ -233,6 +234,7 @@ class MPMSolver:
                               column_c_cap=self.column_c_cap,
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
+                              column_pallas=self.column_pallas,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,

@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--substeps", type=int, default=400)
     parser.add_argument("--body_obj", default=None)
     parser.add_argument("--column_k", type=int, default=48)
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused-Pallas transfer kernels")
     parser.add_argument("--mesh_column_k", type=int, default=64,
                         help="collider-splat slots per column; must cover "
                         "the max collider faces per (x,y) cell — the frame "
@@ -48,7 +50,8 @@ def main():
     else:
         body_v, body_f = build_body_sphere(center=(1.0, 0.8, 1.0), r=0.3)
     solver = MPMSolver(cfg, column_k=args.column_k,
-                       mesh_column_k=args.mesh_column_k, faces=faces)
+                       mesh_column_k=args.mesh_column_k, faces=faces,
+                       column_pallas=args.pallas)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
 

@@ -1,0 +1,111 @@
+"""Fused-Pallas transfer kernels vs the XLA column path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_substep_golden import make_cloth, build_pair
+
+from mpmavatar_tpu.core import stepping
+from mpmavatar_tpu.ops import column_transfer as ct
+from mpmavatar_tpu.ops import pallas_transfer as pt
+
+
+def _scene(nx=12, grid=64, K=16, cap=512):
+    verts, faces = make_cloth(nx=nx, ny=nx, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=500.0, n_grid=grid)
+    vf_inc = jnp.asarray(ct.build_vertex_incidence(faces,
+                                                   cfg.n_vertices))
+    dt = 2e-4
+    _, _, _, stress, vforce = stepping.compute_stress(cfg, state, model,
+                                                      dt,
+                                                      vf_incidence=vf_inc)
+    sel = (state.selection == 0).astype(state.x.dtype)
+    nnv = cfg.n_no_vertices
+    sstress = dt * sel[:nnv, None, None] * stress
+    svf = dt * vforce
+    bins = ct.build_bins(state.x, cfg, K, c_cap=cap)
+    assert int(bins.overflow) == 0
+    return cfg, state, model, sstress, svf, bins, K
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_p2g_fused_matches_xla(radius):
+    cfg, state, model, sstress, svf, bins, K = _scene()
+    gv_ref, gm_ref = ct.p2g_columns(cfg, state, sstress, svf, K,
+                                    bins=bins, radius=radius)
+    gv, gm = pt.p2g_columns_fused(cfg, state, sstress, svf, K, bins=bins,
+                                  radius=radius, interpret=True)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_g2p_fused_matches_xla(radius):
+    cfg, state, model, sstress, svf, bins, K = _scene()
+    gv, gm = ct.p2g_columns(cfg, state, sstress, svf, K, bins=bins,
+                            radius=radius)
+    grid_v_out = stepping.grid_update(cfg, model, gv, gm, 2e-4)
+    ref = ct.g2p_columns(cfg, state, grid_v_out, K, bins=bins,
+                         radius=radius)
+    out = pt.g2p_columns_fused(cfg, state, grid_v_out, K, bins=bins,
+                               radius=radius, interpret=True)
+    for a, b, name in zip(out, ref, ("v", "C", "grad_v")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=name)
+
+
+def test_full_frame_pallas_path():
+    """End-to-end frame: pallas path matches the scatter path, including
+    mesh collider + amortized rebinning, and stays differentiable."""
+    from mpmavatar_tpu.sim import MPMSolver
+    from bench import build_body_sphere
+    verts, faces = make_cloth(nx=10, ny=10, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=500.0, n_grid=64)
+    bv, bf = build_body_sphere(n_theta=12, n_phi=12,
+                               center=(1.0, 0.8, 1.0), r=0.25)
+    mx, mv = jnp.asarray(bv), jnp.zeros((len(bv), 3), jnp.float32)
+
+    def run(**kw):
+        s = MPMSolver(cfg, column_k=16, mesh_column_k=16,
+                      column_c_cap=512, faces=faces, **kw)
+        s.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
+        s.add_mesh_collider(bf, friction=0.5)
+        st, _, of = s.frame(state, model, 1e-4, 8, 0.0, mesh_x=mx,
+                            mesh_v=mv, return_overflow=True)
+        assert int(of) == 0
+        return np.asarray(st.x)
+
+    x_ref = run()
+    x_pal = run(column_pallas=True)
+    np.testing.assert_allclose(x_pal, x_ref, atol=1e-5)
+    x_pal2 = run(column_pallas=True, column_radius=2, rebin_auto=True)
+    np.testing.assert_allclose(x_pal2, x_ref, atol=1e-5)
+
+
+def test_pallas_path_gradients():
+    """custom-VJP backward (XLA re-trace) matches the XLA path gradient."""
+    from mpmavatar_tpu.sim import MPMSolver
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.4)
+    _, cfg, state, model = build_pair(verts, faces, E=500.0, n_grid=32)
+
+    def loss_with(pallas):
+        s = MPMSolver(cfg, column_k=16, column_c_cap=256, faces=faces,
+                      column_pallas=pallas)
+
+        def f(e_scalar):
+            import dataclasses
+            from mpmavatar_tpu.core.types import finalize_mu_lam
+            m = finalize_mu_lam(dataclasses.replace(
+                model, E=jnp.full_like(model.E, e_scalar)))
+            st, _ = s.frame(state, m, 1e-4, 5, 0.0)
+            return jnp.sum(st.x ** 2)
+        return jax.value_and_grad(f)(jnp.float32(500.0))
+
+    l_ref, g_ref = loss_with(False)
+    l_pal, g_pal = loss_with(True)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(g_pal), float(g_ref), rtol=1e-4)
