@@ -74,6 +74,20 @@ def rasterize_uv_chart(uv_verts: np.ndarray, uv_faces: np.ndarray,
                    resolution=resolution)
 
 
+def load_uv_chart(uv_path: str, resolution: int = 256) -> UVChart:
+    """UV chart straight from an OBJ's vt/f records (host, once)."""
+    vt, fuv = [], []
+    with open(uv_path) as f:
+        for line in f:
+            if line[:2] == "vt":
+                vt.append([float(x) for x in line[2:].split()])
+            elif line[:2] == "f ":
+                fuv.append([int(p.split("/")[1]) - 1
+                            for p in line[2:].split()])
+    return rasterize_uv_chart(np.asarray(vt, np.float32),
+                              np.asarray(fuv), resolution=resolution)
+
+
 def _fibonacci_hemisphere(n: int) -> np.ndarray:
     """Cosine-ish hemisphere directions around +z."""
     i = np.arange(n) + 0.5

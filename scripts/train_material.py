@@ -24,10 +24,17 @@ def main():
     add_dataclass_args(parser, ModelParams)
     add_dataclass_args(parser, OptimizationParams)
     parser.add_argument("--run_eval", action="store_true")
+    parser.add_argument("--skip_sim", action="store_true",
+                        help="eval: reuse existing uvmesh/*.obj")
+    parser.add_argument("--skip_render", action="store_true",
+                        help="eval: stop after simulation (no AO/render)")
+    parser.add_argument("--skip_video", action="store_true")
     parser.add_argument("--tracked_verts_npz", type=str, required=True,
                         help="npz with train_verts (F+1,V,3), smplx_verts, "
                              "smplx_faces, cloth_faces, first_frame_verts, "
-                             "num_joint_v, num_joint_f")
+                             "num_joint_v, num_joint_f; optional "
+                             "human_verts + cloth_v_idx/human_v_idx for "
+                             "layered merge")
     args = parser.parse_args()
     cfg = extract_dataclass(args, ModelParams)
     opt = extract_dataclass(args, OptimizationParams)
@@ -50,19 +57,54 @@ def main():
 
     out_dir = cfg.output_dir or "./output/material"
     if args.run_eval:
-        test = np.load(args.tracked_verts_npz.replace("train", "test"))
-        verts0 = test["train_verts"][0]
-        velo0 = (test["train_verts"][1] - test["train_verts"][0]) * 25.0
-        smplx = test["smplx_verts"]
-        smplx_velo = (smplx[1:] - smplx[:-1]) * 25.0
-        frames = trainer.simulate(verts0, velo0, smplx[:-1], smplx_velo,
-                                  n_frames=len(smplx) - 1)
         mesh_dir = os.path.join(out_dir, "uvmesh")
-        os.makedirs(mesh_dir, exist_ok=True)
-        for i, v in enumerate(frames):
-            write_obj(os.path.join(mesh_dir, f"{i:03d}.obj"), v,
-                      data["cloth_faces"])
-        print(f"wrote {len(frames)} simulated meshes to {mesh_dir}")
+        test = np.load(args.tracked_verts_npz.replace("train", "test"))
+        if not args.skip_sim:
+            verts0 = test["train_verts"][0]
+            velo0 = (test["train_verts"][1] - test["train_verts"][0]) * 25.0
+            smplx = test["smplx_verts"]
+            smplx_velo = (smplx[1:] - smplx[:-1]) * 25.0
+            frames = trainer.simulate(verts0, velo0, smplx[:-1],
+                                      smplx_velo, n_frames=len(smplx) - 1)
+            frames = [test["train_verts"][0]] + frames
+            os.makedirs(mesh_dir, exist_ok=True)
+            # layered capture: merge the simulated cloth with the tracked
+            # human layer before writing (train_material_params.py:812-820)
+            layered = "human_verts" in test and "cloth_v_idx" in test
+            for i, v in enumerate(frames):
+                if layered:
+                    full = np.zeros(
+                        (len(test["cloth_v_idx"])
+                         + len(test["human_v_idx"]), 3), np.float32)
+                    full[np.asarray(test["cloth_v_idx"])] = v
+                    full[np.asarray(test["human_v_idx"])] = \
+                        test["human_verts"][i]
+                    v = full
+                write_obj(os.path.join(mesh_dir, f"{i:03d}.obj"), v,
+                          data["cloth_faces"])
+            print(f"wrote {len(frames)} simulated meshes to {mesh_dir}")
+        if not args.skip_render:
+            # stage-4 render loop: AO bake + held-out camera renders +
+            # pred/gt pngs + videos (train_material_params.py:828-881);
+            # scripts/eval.py consumes out_dir directly afterwards
+            from mpmavatar_tpu.data import Scene
+            from mpmavatar_tpu.render.avatar_model import (
+                load_avatar_checkpoint, load_mesh_avatar)
+            from mpmavatar_tpu.train.evaluate import render_eval_sequence
+            scene = Scene(cfg, return_type="image")
+            avatar, params = load_mesh_avatar(
+                cfg.trained_model_path, cfg.uv_path,
+                sh_degree=cfg.sh_degree)
+            ckpt = os.path.join(cfg.model_path, "point_cloud")
+            if os.path.isdir(ckpt):
+                latest = sorted(os.listdir(ckpt))[-1]
+                params = load_avatar_checkpoint(
+                    os.path.join(ckpt, latest), params)
+            render_eval_sequence(avatar, params, scene, mesh_dir,
+                                 out_dir, cfg.uv_path,
+                                 active_sh_degree=cfg.sh_degree,
+                                 skip_video=args.skip_video)
+            print(f"eval renders written under {out_dir}")
         return
 
     for it in range(opt.iterations):
