@@ -40,20 +40,23 @@ from .column_transfer import (ColumnBins, _packed_gather, _scatter_columns,
 
 
 def _axis_weights(f, inv_dx):
-    """Quadratic B-spline weights / derivatives per tap (…, 3)."""
+    """Quadratic B-spline weights / derivatives per tap, as LISTS of
+    (…,) arrays — Mosaic lowers ``stacked[..., o, None]`` to a gather it
+    rejects ("Only 2D gather is supported"), so taps stay unstacked."""
     wa = 1.5 - f
     wb = f - 1.0
     wc = f - 0.5
-    w = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
-    dw = jnp.stack([f - 1.5, -2.0 * (f - 1.0), f - 0.5], -1) * inv_dx
+    w = [0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc]
+    dw = [(f - 1.5) * inv_dx, -2.0 * (f - 1.0) * inv_dx,
+          (f - 0.5) * inv_dx]
     return w, dw
 
 
-def _tap_select(o, table):
-    """table[..., o] with o in {0,1,2} (out-of-range -> 0), branch-free."""
-    out = jnp.zeros_like(table[..., 0])
+def _tap_select(o, taps):
+    """taps[o] with o in {0,1,2} (out-of-range -> 0), branch-free."""
+    out = jnp.zeros_like(taps[0])
     for q in range(3):
-        out = out + (o == q).astype(table.dtype) * table[..., q]
+        out = out + (o == q).astype(taps[0].dtype) * taps[q]
     return out
 
 
@@ -79,9 +82,9 @@ def _geometry(px, colxy, inv_dx, G, shifts):
     z2 = jnp.zeros_like(z0)
     for o in range(3):
         hit = (zline == (base[..., 2] + o)[..., None]).astype(px.dtype)
-        z0 = z0 + hit * wz[..., o, None]
-        z1 = z1 + hit * ((float(o) - fz) * wz[..., o])[..., None]
-        z2 = z2 + hit * dwz[..., o, None]
+        z0 = z0 + hit * wz[o][..., None]
+        z1 = z1 + hit * ((float(o) - fz) * wz[o])[..., None]
+        z2 = z2 + hit * dwz[o][..., None]
     zmat = jnp.concatenate([z0, z1, z2], axis=1)          # (B, 3K, G)
 
     drift = base[..., :2] - colxy[:, None, :]             # (B, K, 2)
@@ -192,6 +195,12 @@ def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
 # ----------------------------------------------------------------------
 # pallas_call wrappers
 # ----------------------------------------------------------------------
+# XLA:TPU allocates each pallas output on the VMEM stack during AOT
+# compilation; outputs beyond ~16-32 MB fail with a vmem OOM, so the
+# fused calls are issued per column SLAB and concatenated in HBM.
+_SLAB = 512
+
+
 def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
                 block_c, interpret):
     C, K, _ = px.shape
@@ -202,23 +211,33 @@ def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
                                  col_ref[...], inv_dx, dx, G, shifts,
                                  bf16)
 
-    nb = C // block_c
-    return pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block_c, K, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, K, 27), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_c, G, 4 * S), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, G, 4 * S), jnp.float32),
-        interpret=interpret,
-    )(px, pattr, colxy_f)
+    def call(px_s, attr_s, col_s):
+        c = px_s.shape[0]
+        bc = _pick_block(c, block_c)
+        return pl.pallas_call(
+            kernel,
+            grid=(c // bc,),
+            in_specs=[
+                pl.BlockSpec((bc, K, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, K, 27), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bc, G, 4 * S),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, G, 4 * S), jnp.float32),
+            interpret=interpret,
+        )(px_s, attr_s, col_s)
+
+    slab = max(_SLAB, block_c)
+    if C <= slab:
+        return call(px, pattr, colxy_f)
+    outs = [call(px[s:s + slab], pattr[s:s + slab], colxy_f[s:s + slab])
+            for s in range(0, C, slab)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
@@ -230,23 +249,32 @@ def _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
         out_ref[...] = _g2p_math(px_ref[...], g_ref[...], col_ref[...],
                                  inv_dx, G, shifts, bf16)
 
-    nb = C // block_c
-    return pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block_c, K, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, G, 3 * S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_c, K, 21), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, K, 21), jnp.float32),
-        interpret=interpret,
-    )(px, g_all, colxy_f)
+    def call(px_s, g_s, col_s):
+        c = px_s.shape[0]
+        bc = _pick_block(c, block_c)
+        return pl.pallas_call(
+            kernel,
+            grid=(c // bc,),
+            in_specs=[
+                pl.BlockSpec((bc, K, 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, G, 3 * S), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bc, K, 21), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, K, 21), jnp.float32),
+            interpret=interpret,
+        )(px_s, g_s, col_s)
+
+    slab = max(_SLAB, block_c)
+    if C <= slab:
+        return call(px, g_all, colxy_f)
+    outs = [call(px[s:s + slab], g_all[s:s + slab], colxy_f[s:s + slab])
+            for s in range(0, C, slab)]
+    return jnp.concatenate(outs, axis=0)
 
 
 # ----------------------------------------------------------------------
@@ -313,6 +341,9 @@ def _interpret_default():
 
 
 def _pick_block(c_cap: int, block_c: int) -> int:
+    """Largest block <= block_c that divides c_cap; multiples of 8
+    (Mosaic block sublane constraint) preferred."""
+    block_c = max(8 * (block_c // 8), 1)
     while block_c > 1 and c_cap % block_c:
         block_c //= 2
     return max(block_c, 1)

@@ -294,7 +294,8 @@ class MPMSolver:
                                        column_c_cap=self.column_c_cap,
                                        column_radius=self.column_radius,
                                        column_bf16=self.column_bf16,
-                                                column_bins=bins,
+                                       column_pallas=self.column_pallas,
+                                       column_bins=bins,
                                        vf_incidence=self.vf_incidence,
                                        return_overflow=True, **kw)
             of = jnp.maximum(of, st_of)

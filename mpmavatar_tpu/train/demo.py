@@ -210,3 +210,52 @@ def render_demo_frame(avatar, params, verts, ao_map, cam, camera_idx,
         + params.cam_c[camera_idx][:, None, None]
     rendering = rendering * out["mask"] + (1.0 - out["mask"])
     return jnp.clip(rendering, 0.0, 1.0), out
+
+
+def prepare_pose_playback(smplx_model, first_params: dict,
+                          pose_params: dict, first_frame_verts,
+                          lbs_w=None, fps: float = 25.0, k: int = 10):
+    """Animate the tracked avatar through a novel pose sequence
+    (run_demo.py:176-214): inverse-LBS the first tracked frame to the
+    canonical pose with the first frame's SMPL-X fit, then forward-LBS
+    through every pose of the sequence (e.g. a1_sitting.npz).
+
+    Returns dict(verts (T,V,3), verts_velo (T-1,V,3),
+    smplx (T,Vs,3), smplx_velo (T-1,Vs,3))."""
+    from ..avatar.pipeline import deform_tracked_to_poses, frame_velocities
+
+    deformed, out_poses, _ = deform_tracked_to_poses(
+        smplx_model, jnp.asarray(first_frame_verts), first_params,
+        pose_params, lbs_w=lbs_w, k=k)
+    smplx_seq = out_poses.vertices
+    return {
+        "verts": deformed,
+        "verts_velo": frame_velocities(deformed, fps),
+        "smplx": smplx_seq,
+        "smplx_velo": frame_velocities(smplx_seq, fps),
+    }
+
+
+def load_chair_gaussians(path: str):
+    """Chair gaussian pack for the orbit render (run_demo.py:575-578).
+
+    Accepts an npz with {xyz, shs, opacity, scale, rotation} or a 3DGS
+    checkpoint PLY.  Returns (chair_dict, chair_shs)."""
+    if path.endswith(".npz"):
+        d = dict(np.load(path))
+        chair = {"xyz": jnp.asarray(d["xyz"]),
+                 "opacity": jnp.asarray(d["opacity"]).reshape(-1, 1),
+                 "scale": jnp.asarray(d["scale"]),
+                 "rotation": jnp.asarray(d["rotation"])}
+        shs = jnp.asarray(d["shs"])
+    else:
+        from ..utils.io import read_ply_gaussians
+        d = read_ply_gaussians(path)
+        chair = {"xyz": jnp.asarray(d["xyz"]),
+                 "opacity": jax.nn.sigmoid(
+                     jnp.asarray(d["opacity"]).reshape(-1, 1)),
+                 "scale": jnp.exp(jnp.asarray(d["scaling"])),
+                 "rotation": jnp.asarray(d["rotation"])}
+        shs = jnp.concatenate([jnp.asarray(d["features_dc"]),
+                               jnp.asarray(d["features_rest"])], axis=1)
+    return chair, shs

@@ -79,11 +79,25 @@ def test_full_frame_pallas_path():
         assert int(of) == 0
         return np.asarray(st.x)
 
+    # guard against silent flag-plumbing regressions: the pallas run
+    # must actually invoke the fused kernels
+    calls = {"n": 0}
+    orig = pt._p2g_pallas
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
     x_ref = run()
-    x_pal = run(column_pallas=True)
-    np.testing.assert_allclose(x_pal, x_ref, atol=1e-5)
-    x_pal2 = run(column_pallas=True, column_radius=2, rebin_auto=True)
-    np.testing.assert_allclose(x_pal2, x_ref, atol=1e-5)
+    pt._p2g_pallas, n0 = counted, calls["n"]
+    try:
+        x_pal = run(column_pallas=True)
+        assert calls["n"] > n0, "column_pallas did not reach the kernel"
+        np.testing.assert_allclose(x_pal, x_ref, atol=1e-5)
+        x_pal2 = run(column_pallas=True, column_radius=2, rebin_auto=True)
+        np.testing.assert_allclose(x_pal2, x_ref, atol=1e-5)
+    finally:
+        pt._p2g_pallas = orig
 
 
 def test_pallas_path_gradients():
