@@ -4,6 +4,7 @@ metrics.  Exercises the full reference workflow surface
 (SURVEY.md §1 stages 2-5) on tiny shapes."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from test_substep_golden import make_cloth
@@ -11,6 +12,7 @@ from test_rasterizer import simple_camera
 from test_train import make_fake_tracking_assets
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     from mpmavatar_tpu.render.avatar_model import load_mesh_avatar
     from mpmavatar_tpu.train.material import (MaterialTrainer,

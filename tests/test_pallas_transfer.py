@@ -58,6 +58,7 @@ def test_g2p_fused_matches_xla(radius):
                                    atol=2e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_full_frame_pallas_path():
     """End-to-end frame: pallas path matches the scatter path, including
     mesh collider + amortized rebinning, and stays differentiable."""
@@ -100,6 +101,7 @@ def test_full_frame_pallas_path():
         pt._p2g_pallas = orig
 
 
+@pytest.mark.slow
 def test_pallas_path_gradients():
     """custom-VJP backward (XLA re-trace) matches the XLA path gradient."""
     from mpmavatar_tpu.sim import MPMSolver

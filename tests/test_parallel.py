@@ -1,6 +1,7 @@
 """Multi-device tests on the 8-way virtual CPU mesh (conftest.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -89,6 +90,7 @@ def test_sharded_matches_single_device():
                                np.asarray(s.x[cfg.n_elements:]), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_dp_appearance_step():
     """Data-parallel appearance step over 8 virtual devices."""
     import sys, os

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def test_scan_frame_equals_substep_loop():
     assert abs(float(t) - 8 * dt) < 1e-7
 
 
+@pytest.mark.slow
 def test_cloth_drop_settles_on_floor():
     solver, state, model = _setup()
     dt = 5e-4
@@ -144,6 +146,7 @@ def test_set_parameters_in_box():
                                d2 * np.asarray(state.vol))
 
 
+@pytest.mark.slow
 def test_rebin_auto_matches_exact():
     """Drift-based adaptive rebinning (rebin_auto) is exact while drift
     stays under the radius bound."""

@@ -1,12 +1,14 @@
 """Stage-1 mesh tracking smoke test with synthetic views."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from test_substep_golden import make_cloth
 from test_rasterizer import simple_camera
 
 
+@pytest.mark.slow
 def test_tracker_fits_colors_and_runs():
     from mpmavatar_tpu.train.tracking import MeshTracker, TrackingConfig
 

@@ -107,6 +107,7 @@ def test_appearance_step_reduces_loss(tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_material_trainer_autodiff_step():
     from mpmavatar_tpu.train.material import (MaterialTrainer,
                                               MaterialTrainerConfig)
@@ -134,6 +135,7 @@ def test_material_trainer_autodiff_step():
     assert np.isfinite(loss_fd)
 
 
+@pytest.mark.slow
 def test_demo_sim_mixed_sand_cloth():
     from mpmavatar_tpu.train.demo import build_demo_sim, get_sand
     from mpmavatar_tpu.sim import SimTransform
@@ -159,6 +161,7 @@ def test_demo_sim_mixed_sand_cloth():
     assert sand_y.mean() < sim_sand_y0.mean()
 
 
+@pytest.mark.slow
 def test_material_trainer_simulate_rollout():
     from mpmavatar_tpu.train.material import (MaterialTrainer,
                                               MaterialTrainerConfig)
