@@ -21,7 +21,7 @@ NUM_BODY_JOINTS = 21
 NUM_HAND_JOINTS = 15
 
 
-@pytree_dataclass
+@pytree_dataclass(static_fields=("parents",))
 class SMPLXModel:
     """Model constants from SMPLX_{gender}.npz."""
     v_template: jnp.ndarray      # (V, 3)

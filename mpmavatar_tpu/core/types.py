@@ -27,16 +27,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pytree_dataclass(cls):
-    """Register a frozen dataclass as a JAX pytree (all fields are leaves)."""
+def pytree_dataclass(cls=None, *, static_fields=()):
+    """Register a frozen dataclass as a JAX pytree.
+
+    ``static_fields`` names go into the treedef (hashable aux data, e.g.
+    topology tuples) instead of becoming traced leaves — required for
+    fields consumed as Python values inside jitted code."""
+    if cls is None:
+        return lambda c: pytree_dataclass(c, static_fields=static_fields)
     cls = dataclasses.dataclass(frozen=True)(cls)
-    fields = [f.name for f in dataclasses.fields(cls)]
+    fields = [f.name for f in dataclasses.fields(cls)
+              if f.name not in static_fields]
+    static = tuple(static_fields)
 
     def flatten(obj):
-        return [getattr(obj, n) for n in fields], None
+        return ([getattr(obj, n) for n in fields],
+                tuple(getattr(obj, n) for n in static) or None)
 
-    def unflatten(_, leaves):
-        return cls(**dict(zip(fields, leaves)))
+    def unflatten(aux, leaves):
+        kw = dict(zip(fields, leaves))
+        if static:
+            kw.update(dict(zip(static, aux)))
+        return cls(**kw)
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls

@@ -352,7 +352,7 @@ def _pick_block(c_cap: int, block_c: int) -> int:
 def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
-                      block_c: int = 16, interpret=None):
+                      block_c: int = 8, interpret=None):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
@@ -398,7 +398,7 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
 
 def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
                       bins: ColumnBins, radius: int = 1,
-                      bf16: bool = False, block_c: int = 16,
+                      bf16: bool = False, block_c: int = 8,
                       interpret=None):
     """Fused-Pallas g2p_columns: returns (new_v, new_C, grad_v) in
     original particle order (same contract as column_transfer)."""

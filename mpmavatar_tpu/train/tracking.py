@@ -159,10 +159,18 @@ def tracking_loss(params: Dict, variables: Dict, ca, width, height,
 
 class MeshTracker:
     """Per-timestep tracking driver (train loop of
-    train_mesh_lbs_actorshq.py:408-519, simplified to numpy-array IO)."""
+    train_mesh_lbs_actorshq.py:408-519, simplified to numpy-array IO).
+
+    With ``smplx_model`` (+ optional ``vposer``) given, each timestep
+    jointly optimizes the SMPL-X fit alongside the mesh: the VPoser
+    latent (or raw body_pose) every frame and betas at t0 only, driven
+    through the cloth-body collision penalty with a separate Adam —
+    exactly the reference's two-optimizer loop (:433-469)."""
 
     def __init__(self, verts0, faces, cfg: TrackingConfig = None,
-                 cloth_v_idx=None, max_cams=160, scene_radius=1.0):
+                 cloth_v_idx=None, max_cams=160, scene_radius=1.0,
+                 smplx_model=None, vposer=None, smplx_faces=None,
+                 lr_smplx: float = 1e-4):
         self.cfg = cfg or TrackingConfig()
         self.params = init_tracking_params(verts0, faces, max_cams)
         self.variables = init_tracking_variables(verts0, faces, cloth_v_idx)
@@ -180,7 +188,64 @@ class MeshTracker:
             {k: optax.adam(v, eps=1e-15) for k, v in lrs.items()},
             {k: k for k in lrs})
         self.opt_state = self.tx.init(self.params)
+        self.smplx_model = smplx_model
+        self.vposer = vposer
+        self.smplx_faces = (jnp.asarray(smplx_faces, jnp.int32)
+                            if smplx_faces is not None else None)
+        self.lr_smplx = lr_smplx
+        self.smplx_train = None      # dict of trainable smplx leaves
+        self.smplx_fixed = None      # frozen smplx params
+        self.beta = None             # locked after t0
         self._step = self._build_step()
+
+    # ---- joint SMPL-X fitting ---------------------------------------
+    def _smplx_geometry(self, train, fixed, model, vposer):
+        """Trainable smplx leaves -> (verts (Vs,3), normals).
+
+        ``model``/``vposer`` are threaded as jit ARGUMENTS (their big
+        arrays must not be embedded as program constants — the tunneled
+        TPU's remote compiler rejects oversized programs)."""
+        from ..avatar.smplx import smplx_forward
+        from ..avatar.vposer import matrix_to_axis_angle, vposer_decode
+        from ..render.geometry import vertex_normals
+        p = dict(fixed)
+        if "latent" in train:
+            rots = vposer_decode(vposer, train["latent"])
+            p["body_pose"] = matrix_to_axis_angle(rots).reshape(1, -1)
+        elif "body_pose" in train:
+            p["body_pose"] = train["body_pose"]
+        if "beta" in train:
+            p["beta"] = train["beta"]
+        out = smplx_forward(model, p)
+        v = out.vertices[0]
+        return v, vertex_normals(v, self.smplx_faces)
+
+    def set_smplx_frame(self, smplx_param: Dict, is_initial: bool):
+        """Split this timestep's SMPL-X params into trainable leaves
+        (latent/body_pose; beta at t0) and frozen leaves
+        (:433-447)."""
+        assert self.smplx_model is not None
+        p = {k: jnp.asarray(v) for k, v in smplx_param.items()}
+        train_keys = ["latent"] if ("latent" in p and
+                                    self.vposer is not None) else \
+            ["body_pose"]
+        if is_initial:
+            train_keys.append("beta")
+        self.smplx_train = {k: p[k] for k in train_keys if k in p}
+        self.smplx_fixed = {k: v for k, v in p.items()
+                            if k not in self.smplx_train}
+        if not is_initial and self.beta is not None:
+            self.smplx_fixed["beta"] = self.beta
+        self.smplx_tx = optax.adam(self.lr_smplx)
+        self.smplx_opt_state = self.smplx_tx.init(self.smplx_train)
+
+    def finish_smplx_frame(self, is_initial: bool) -> Dict:
+        """Lock betas after t0; returns the full fitted param dict
+        (saved like :480)."""
+        full = {**self.smplx_fixed, **self.smplx_train}
+        if is_initial and "beta" in self.smplx_train:
+            self.beta = self.smplx_train["beta"]
+        return full
 
     def _build_step(self):
         cfg = self.cfg
@@ -202,6 +267,32 @@ class MeshTracker:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, parts
 
+        @partial(jax.jit, static_argnames=("width", "height",
+                                           "is_initial"))
+        def step_joint(params, opt_state, smplx_train, smplx_opt_state,
+                       smplx_fixed, smplx_model, vposer, ca, width,
+                       height, cam_id, gt_im, gt_msk, prev_col,
+                       is_initial):
+            def loss_fn(p, st):
+                smplx_v, smplx_vn = self._smplx_geometry(
+                    st, smplx_fixed, smplx_model, vposer)
+                loss, parts = tracking_loss(
+                    p, variables, ca, width, height, cam_id, gt_im,
+                    gt_msk, smplx_v, smplx_vn, prev_col, is_initial, cfg)
+                return loss, parts
+
+            (loss, parts), (grads, sgrads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params,
+                                                       smplx_train)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            supd, smplx_opt_state = self.smplx_tx.update(
+                sgrads, smplx_opt_state, smplx_train)
+            smplx_train = optax.apply_updates(smplx_train, supd)
+            return (params, opt_state, smplx_train, smplx_opt_state,
+                    loss, parts)
+
+        self._step_joint = step_joint
         return step
 
     def initialize_per_timestep(self):
@@ -213,26 +304,98 @@ class MeshTracker:
             self.params = {**self.params, "vertices": v + delta}
         self.prev_col = self.params["rgb_colors"]
 
-    def fit_frame(self, batches, smplx_v, smplx_vn, is_initial: bool,
+    def fit_frame(self, batches, smplx_v=None, smplx_vn=None,
+                  is_initial: bool = False,
                   iters: Optional[int] = None):
         """Run `iters` optimization steps over a list of per-camera
-        batches (cycled)."""
+        batches (cycled).  With a SMPL-X frame set (set_smplx_frame),
+        body geometry is recomputed from the trainable fit every step
+        and optimized jointly; otherwise the given static smplx_v/vn
+        feed the collision penalty."""
         cfg = self.cfg
         iters = iters or (cfg.iters_first if is_initial else cfg.iters_rest)
+        joint = self.smplx_train is not None
         losses = []
         for it in range(iters):
             b = batches[it % len(batches)]
-            self.params, self.opt_state, loss, _ = self._step(
-                self.params, self.opt_state, camera_arrays(b["cam"]),
-                b["cam"].image_width, b["cam"].image_height,
-                b["camera_idx"], jnp.asarray(b["rgb"]),
-                jnp.asarray(b["msk"]), jnp.asarray(smplx_v),
-                jnp.asarray(smplx_vn), self.prev_col, is_initial)
+            ca = camera_arrays(b["cam"])
+            w, h = b["cam"].image_width, b["cam"].image_height
+            if joint:
+                (self.params, self.opt_state, self.smplx_train,
+                 self.smplx_opt_state, loss, _) = self._step_joint(
+                    self.params, self.opt_state, self.smplx_train,
+                    self.smplx_opt_state, self.smplx_fixed,
+                    self.smplx_model, self.vposer, ca, w, h,
+                    b["camera_idx"], jnp.asarray(b["rgb"]),
+                    jnp.asarray(b["msk"]), self.prev_col, is_initial)
+            else:
+                self.params, self.opt_state, loss, _ = self._step(
+                    self.params, self.opt_state, ca, w, h,
+                    b["camera_idx"], jnp.asarray(b["rgb"]),
+                    jnp.asarray(b["msk"]), jnp.asarray(smplx_v),
+                    jnp.asarray(smplx_vn), self.prev_col, is_initial)
             losses.append(float(loss))
         self.prev_verts.append(self.params["vertices"])
         if len(self.prev_verts) > 2:
             self.prev_verts = self.prev_verts[-2:]
         return losses
+
+    def repose_human(self, smplx_param_t: Dict, smplx_param_t1: Dict):
+        """Inter-frame LBS re-posing of the non-cloth vertices
+        (train_mesh_lbs_actorshq.py:495-519): inverse-LBS the human
+        layer out of pose t, forward-LBS into pose t+1; cloth vertices
+        keep the inertia warm-start."""
+        from ..avatar import lbs
+        from ..avatar.smplx import smplx_forward
+        assert self.smplx_model is not None
+        verts = self.params["vertices"]
+        n = verts.shape[0]
+        cloth_idx = self.variables.get("cloth_v_idx")
+        if cloth_idx is None:
+            return                      # single-layer garment: nothing
+        mask = jnp.ones((n,), bool).at[cloth_idx].set(False)
+        hidx = jnp.where(np.asarray(mask))[0]
+        if hidx.size == 0:
+            return
+        p0 = {k: jnp.asarray(v) for k, v in smplx_param_t.items()}
+        p1 = {k: jnp.asarray(v) for k, v in smplx_param_t1.items()}
+        if self.beta is not None:
+            p0["beta"] = p1["beta"] = self.beta
+        out0 = smplx_forward(self.smplx_model, p0)
+        out1 = smplx_forward(self.smplx_model, p1)
+        tr0 = p0.get("trans")
+        sc0 = p0.get("scale")
+        t_v, _, w = lbs.transform_to_t_pose(
+            verts[hidx], out0.vertices[0], out0.transform_mat[0],
+            lbs_weights_packed=self.smplx_model.lbs_weights,
+            global_transl=None if tr0 is None else tr0[0],
+            scale=None if sc0 is None else jnp.reshape(sc0, (-1,))[0])
+        tr1 = p1.get("trans")
+        sc1 = p1.get("scale")
+        v1, _ = lbs.transform_to_pose(
+            t_v, w, out1.transform_mat[0],
+            global_transl=None if tr1 is None else tr1[0],
+            scale=None if sc1 is None else jnp.reshape(sc1, (-1,))[0])
+        self.params = {**self.params,
+                       "vertices": verts.at[hidx].set(v1)}
+
+    def resume(self, save_dir: str, start_idx: int, resume_t: int):
+        """Resume mid-sequence (train_mesh_lbs_actorshq.py:350-370):
+        overlay params_{resume_t}.npz on params_{start_idx}.npz and
+        reset the inertia history to the resumed frame."""
+        import os
+        ori = dict(np.load(os.path.join(save_dir,
+                                        f"params_{start_idx}.npz")))
+        res = dict(np.load(os.path.join(save_dir,
+                                        f"params_{resume_t}.npz")))
+        ori.update(res)
+        for k in ("vertices", "rgb_colors", "logit_opacities",
+                  "log_scales", "cam_m", "cam_c"):
+            if k in ori:
+                self.params = {**self.params, k: jnp.asarray(ori[k])}
+        self.prev_verts = [self.params["vertices"]]
+        self.prev_col = self.params["rgb_colors"]
+        self.opt_state = self.tx.init(self.params)
 
     def save_frame(self, path, t, cam_count=None):
         """params_{t}.npz with the layout the avatar loader expects

@@ -62,13 +62,18 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
 
 
 def collision_loss(cloth_v, smplx_v, smplx_vn, eps: float = 1e-3):
-    """Nearest-neighbour interpenetration penalty
-    (loss_utils.py:85-94)."""
+    """Nearest-neighbour interpenetration penalty (loss_utils.py:85-94).
+
+    ``smplx_vn`` follows the standard OUTWARD convention
+    (render.geometry.vertex_normals); the reference negates the signed
+    distance instead because its compute_vertex_normals
+    (general_utils.py:355-366, cross(v0-v1, v2-v1)) yields inward
+    normals — same semantics, penalize cloth inside the body."""
     d2 = (jnp.sum(cloth_v ** 2, -1)[:, None]
           - 2.0 * cloth_v @ smplx_v.T
           + jnp.sum(smplx_v ** 2, -1)[None, :])
     nn = jnp.argmin(d2, axis=-1)
     closest_v = smplx_v[nn]
     closest_vn = smplx_vn[nn]
-    distance = jnp.sum(-closest_vn * (cloth_v - closest_v), axis=-1)
+    distance = jnp.sum(closest_vn * (cloth_v - closest_v), axis=-1)
     return jnp.sum(jnp.maximum(eps - distance, 0.0)) / cloth_v.shape[0]
