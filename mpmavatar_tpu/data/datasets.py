@@ -168,8 +168,51 @@ class DRESS4DDataset:
         return self.load_frame(i, j)
 
 
+class PreloadedDataset:
+    """Eager in-memory dataset (the reference's "video" return type,
+    actorshq_dataset.py:110-160): every (camera, frame) pair is decoded
+    once up front and served from RAM — the fast path for appearance
+    training where the same small frame window is sampled 30k times.
+    Frames are cached as uint8 to keep the footprint ~4x smaller."""
+
+    def __init__(self, base):
+        self.base = base
+        self.camera_list = base.camera_list
+        self.frame_index = base.frame_index
+        self.scene_radius = base.scene_radius
+        self._rgb = {}
+        self._msk = {}
+        for ci in range(len(base.camera_list)):
+            for fi in range(len(base.frame_index)):
+                b = base.load_frame(ci, fi)
+                self._rgb[(ci, fi)] = (
+                    np.clip(b["rgb"], 0, 1) * 255).astype(np.uint8)
+                self._msk[(ci, fi)] = (
+                    np.clip(b["msk"], 0, 1) * 255).astype(np.uint8)
+
+    def load_frame(self, camera_idx, frame_idx):
+        cam = self.camera_list[camera_idx]
+        return {"cam": cam, "camera_idx": camera_idx,
+                "frame_idx": frame_idx,
+                "rgb": self._rgb[(camera_idx, frame_idx)].astype(
+                    np.float32) / 255.0,
+                "msk": self._msk[(camera_idx, frame_idx)].astype(
+                    np.float32) / 255.0}
+
+    def __len__(self):
+        return len(self.camera_list) * len(self.frame_index)
+
+    def sample(self, rng: np.random.Generator):
+        i = int(rng.integers(len(self.camera_list)))
+        j = int(rng.integers(len(self.frame_index)))
+        return self.load_frame(i, j)
+
+
 class Scene:
-    """scene/__init__.py:17-111: dataset selection + frame windows."""
+    """scene/__init__.py:17-111: dataset selection + frame windows.
+
+    ``return_type="video"`` preloads every frame into memory
+    (PreloadedDataset), matching the reference's video mode."""
 
     def __init__(self, cfg, return_type="image"):
         self.dataset_type = cfg.dataset_type
@@ -209,3 +252,6 @@ class Scene:
             raise NotImplementedError(cfg.dataset_type)
         self.train_dataset = mk(True, self.train_frame_index)
         self.test_dataset = mk(False, self.test_frame_index)
+        if return_type == "video":
+            self.train_dataset = PreloadedDataset(self.train_dataset)
+            self.test_dataset = PreloadedDataset(self.test_dataset)

@@ -147,9 +147,12 @@ def _p2g_math(px, pattr, colxy, inv_dx, dx, G, shifts, bf16):
     if bf16:
         zmat = zmat.astype(jnp.bfloat16)
         coeff = coeff.astype(jnp.bfloat16)
+    # output (B, 4S, G): the LANE dim is G (=128, tile-aligned) — the
+    # (B, G, 4S) orientation pads 4S up to 128 lanes and blows the
+    # 16 MB scoped-vmem stack allocation of the result buffer
     return jax.lax.dot_general(
-        zmat, coeff, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # (B, G, 4S)
+        coeff, zmat, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (B, 4S, G)
 
 
 def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
@@ -198,7 +201,7 @@ def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
 # XLA:TPU allocates each pallas output on the VMEM stack during AOT
 # compilation; outputs beyond ~16-32 MB fail with a vmem OOM, so the
 # fused calls are issued per column SLAB and concatenated in HBM.
-_SLAB = 512
+_SLAB = 256
 
 
 def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
@@ -225,10 +228,10 @@ def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
                 pl.BlockSpec((bc, 2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((bc, G, 4 * S),
+            out_specs=pl.BlockSpec((bc, 4 * S, G),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, G, 4 * S), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c, 4 * S, G), jnp.float32),
             interpret=interpret,
         )(px_s, attr_s, col_s)
 
@@ -391,7 +394,9 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     shifts = tuple(shift_set(radius))
     out = _p2g_fused(px, pattr, colxy_f, float(cfg.inv_dx), float(dx), G,
                      shifts, bf16, block_c, interpret)
-    out = out.reshape(pid.shape[0], G, 4, len(shifts))
+    S = len(shifts)
+    # (C, 4S, G) lane-aligned kernel layout -> (C, G, 4, S) scatter layout
+    out = out.reshape(pid.shape[0], 4, S, G).transpose(0, 3, 1, 2)
     grid = _scatter_columns(out, bins, G, 4, radius).reshape(G * G * G, 4)
     return grid[:, :3], grid[:, 3]
 
