@@ -382,9 +382,28 @@ def _grid_coords(cfg: MPMStaticConfig, dtype):
     return idx, idx.astype(dtype) * cfg.dx
 
 
-def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt):
-    """Dispatch one grid-level BC by (static) collider type."""
-    idx, pos = _grid_coords(cfg, grid_v_out.dtype)
+def slab_coords(cfg: MPMStaticConfig, start, n: int, dtype):
+    """(idx (n,3) int32, pos (n,3)) for flat grid cells
+    [start, start+n) — the per-device slab variant of _grid_coords
+    (grid layout is x-major: flat = (x*G + y)*G + z)."""
+    g = cfg.n_grid
+    f = start + jnp.arange(n)
+    idx = jnp.stack([f // (g * g), (f // g) % g, f % g], -1).astype(
+        jnp.int32)
+    return idx, idx.astype(dtype) * cfg.dx
+
+
+def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt,
+                  coords=None, cell_start=None):
+    """Dispatch one grid-level BC by (static) collider type.
+
+    ``coords``/``cell_start`` support running on a grid SLAB under
+    shard_map (parallel.sharded): pass slab_coords(...) and the slab's
+    first flat cell index; default = the full replicated grid."""
+    if coords is not None:
+        idx, pos = coords
+    else:
+        idx, pos = _grid_coords(cfg, grid_v_out.dtype)
     if isinstance(col, SurfaceCollider):
         active = (time >= col.start_time) & (time < col.end_time)
         offset = pos - col.point[None, :]
@@ -447,7 +466,11 @@ def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt):
         return v
 
     if isinstance(col, GridMaskCollider):
-        masked = col.mask.reshape(-1) >= 1
+        mask_flat = col.mask.reshape(-1)
+        if cell_start is not None:
+            mask_flat = jax.lax.dynamic_slice_in_dim(
+                mask_flat, cell_start, grid_v_out.shape[0])
+        masked = mask_flat >= 1
         return jnp.where(masked[:, None], 0.0, grid_v_out)
 
     raise TypeError(f"unknown grid BC {type(col)}")

@@ -29,7 +29,10 @@ from ..core.types import MPMStaticConfig, pytree_dataclass
 
 @pytree_dataclass
 class ShardedClothState:
-    """Block-separated cloth state; every array shards on axis 0."""
+    """Block-separated mixed state; every array shards on axis 0.
+
+    The traditional (sand/jelly) block rides along as zero-length arrays
+    when absent, so the same pytree covers cloth-only and mixed scenes."""
     xe: jnp.ndarray   # (E, 3) element positions
     xv: jnp.ndarray   # (V, 3) vertex positions
     ve: jnp.ndarray   # (E, 3)
@@ -43,12 +46,21 @@ class ShardedClothState:
     mass_e: jnp.ndarray  # (E,)
     mass_v: jnp.ndarray  # (V,)
     faces: jnp.ndarray   # (E, 3) global vertex indices
+    valid_e: jnp.ndarray  # (E,) 1.0 for real elements, 0.0 for padding
+    # traditional block (sand by default; zero-length when unused)
+    xt: jnp.ndarray      # (T, 3)
+    vt: jnp.ndarray      # (T, 3)
+    Ct: jnp.ndarray      # (T, 3, 3)
+    Ft: jnp.ndarray      # (T, 3, 3) elastic deformation gradient
+    vol_t: jnp.ndarray   # (T,)
+    mass_t: jnp.ndarray  # (T,)
 
 
 @pytree_dataclass
 class UniformModel:
     """Uniform material scalars (the reference trains scalar D/E/H —
-    train_material_params.py:571-670)."""
+    train_material_params.py:571-670).  ``alpha`` is the Drucker-Prager
+    coefficient for the traditional (sand) block."""
     mu: jnp.ndarray
     lam: jnp.ndarray
     gamma: jnp.ndarray
@@ -56,6 +68,8 @@ class UniformModel:
     friction_coeff: jnp.ndarray
     gravity: jnp.ndarray
     mesh_friction: jnp.ndarray
+    alpha: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
 
 
 def pad_to_multiple(arr, m, axis=0, fill=0.0):
@@ -70,39 +84,75 @@ def pad_to_multiple(arr, m, axis=0, fill=0.0):
 
 def make_sharded_cloth_state(cfg: MPMStaticConfig, state, n_devices: int
                              ) -> "ShardedClothState":
-    """Split an MPMState cloth setup into padded per-block arrays.
+    """Split an MPMState setup into padded per-block arrays.
 
     Padding uses zero mass/volume so padded particles contribute nothing;
     padded element faces point at vertex 0 but carry zero stress (zero
-    volume) and zero force."""
+    volume) and zero force.  Traditional particles (sand block between
+    elements and vertices in the reference layout) ride along when
+    present."""
     E, V = cfg.n_elements, cfg.n_vertices
     T = cfg.n_traditional
-    assert T == 0, "sharded path currently covers the cloth configuration"
     pe = partial(pad_to_multiple, m=n_devices)
+    sl_t = slice(E, E + T)
     return ShardedClothState(
-        xe=pe(state.x[:E]), xv=pe(state.x[E:]),
-        ve=pe(state.v[:E]), vv=pe(state.v[E:]),
-        Ce=pe(state.C[:E]), Cv=pe(state.C[E:]),
-        d=pe(state.d), R_inv=pe(state.R_inv),
-        vol_e=pe(state.vol[:E]), vol_v=pe(state.vol[E:]),
-        mass_e=pe(state.mass[:E]), mass_v=pe(state.mass[E:]),
-        faces=pe(state.faces))
+        xe=pe(state.x[:E]), xv=pe(state.x[E + T:]),
+        ve=pe(state.v[:E]), vv=pe(state.v[E + T:]),
+        Ce=pe(state.C[:E]), Cv=pe(state.C[E + T:]),
+        # identity-pad the direction matrices / rest metric: QR of a
+        # zero-padded d is singular and NaNs even at zero volume
+        d=_pad_eye(state.d, n_devices),
+        R_inv=pad_to_multiple(
+            state.R_inv, n_devices,
+            fill=0.0).at[E:].set(jnp.asarray([1.0, 0.0, 1.0])),
+        vol_e=pe(state.vol[:E]), vol_v=pe(state.vol[E + T:]),
+        mass_e=pe(state.mass[:E]), mass_v=pe(state.mass[E + T:]),
+        faces=pe(state.faces),
+        valid_e=pad_to_multiple(jnp.ones((E,), state.x.dtype), n_devices),
+        xt=pe(state.x[sl_t]), vt=pe(state.v[sl_t]),
+        Ct=pe(state.C[sl_t]), Ft=_pad_eye(state.F, n_devices),
+        vol_t=pe(state.vol[sl_t]), mass_t=pe(state.mass[sl_t]))
+
+
+def _pad_eye(f, m):
+    """Pad (N,3,3) with IDENTITY rows (zero-padded F is singular and the
+    sand return map's log-sigma would NaN even at zero mass)."""
+    n = f.shape[0]
+    pad = (-n) % m
+    if pad == 0:
+        return f
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f.dtype), (pad, 3, 3))
+    return jnp.concatenate([f, eye], axis=0)
 
 
 def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
                          um: UniformModel, dt, mesh_x, mesh_v,
                          joint_verts_v, num_joint_v: int, n_vertices: int,
-                         axis: str):
-    """Device-local body of one substep; runs under shard_map."""
+                         axis: str, grid_post=(), time=0.0):
+    """Device-local body of one substep; runs under shard_map.
+
+    Grid collectives are slab-decomposed: P2G partials are
+    ``psum_scatter``-reduced so each device OWNS G^3/N contiguous x-slab
+    cells; normalization, the mesh-collider projection, the particle
+    mover and the grid BCs all run on the local slab (1/N of the grid
+    work, no redundancy); one ``all_gather`` rebuilds the full grid for
+    G2P.  Total ICI traffic equals the former full-grid psum
+    (reduce-scatter + all-gather), but grid-op compute now scales with
+    devices — the first step toward a halo-exchanged domain
+    decomposition."""
     from ..core import constitutive
     from ..core.linalg import safe_norm
 
     e_loc = st.xe.shape[0]
     v_loc = st.xv.shape[0]
+    t_loc = st.xt.shape[0]
     G = cfg.n_grid
     G3 = G * G * G
     inv_dx, dx = cfg.inv_dx, cfg.dx
     my = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
+    slab = G3 // n_dev
+    slab_start = my * slab
 
     ones_e = jnp.ones((e_loc,), st.xe.dtype)
 
@@ -142,14 +192,36 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
                                stress=stress_e)
     gv_v, gm_v = scatter_block(st.xv, st.mass_v, st.vv, st.Cv, "vertex",
                                vf=my_vforce)
-    grid_v_in = jax.lax.psum(gv_e + gv_v, axis)
-    grid_m = jax.lax.psum(gm_e + gm_v, axis)
+    grid_v_in = gv_e + gv_v
+    grid_m = gm_e + gm_v
 
-    # ---- grid ops (replicated) ---------------------------------------
-    active = grid_m > 1e-15
+    # ---- traditional (sand) block: DP return map + stress -------------
+    if t_loc > 0:
+        from ..core.linalg import svd3
+        ones_t = jnp.ones((t_loc,), st.xt.dtype)
+        f_new = constitutive.sand_return_mapping(
+            st.Ft, um.mu * ones_t, um.lam * ones_t, um.alpha)
+        u, sig, v = svd3(f_new)
+        st_t = constitutive.kirchoff_stress_drucker_prager(
+            f_new, u, v, sig, um.mu * ones_t, um.lam * ones_t)
+        st_t = 0.5 * (st_t + jnp.swapaxes(st_t, -1, -2))
+        st_t = st.vol_t[:, None, None] * st_t     # vol-scaled (p2g)
+        gv_t, gm_t = scatter_block(st.xt, st.mass_t, st.vt, st.Ct,
+                                   "stress", stress=st_t)
+        grid_v_in = grid_v_in + gv_t
+        grid_m = grid_m + gm_t
+    else:
+        f_new = st.Ft
+
+    # ---- grid ops on the owned x-slab (reduce-scatter) ----------------
+    gv_slab = jax.lax.psum_scatter(grid_v_in, axis, scatter_dimension=0,
+                                   tiled=True)            # (slab, 3)
+    gm_slab = jax.lax.psum_scatter(grid_m, axis, scatter_dimension=0,
+                                   tiled=True)            # (slab,)
+    active = gm_slab > 1e-15
     grid_v_out = jnp.where(
         active[:, None],
-        grid_v_in / jnp.maximum(grid_m, 1e-15)[:, None]
+        gv_slab / jnp.maximum(gm_slab, 1e-15)[:, None]
         + dt * um.gravity[None, :], 0.0)
 
     # ---- mesh collider: faces sharded, rasterization psum-reduced ----
@@ -172,8 +244,10 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
             (w27[..., None] * vals[:, None, :]).reshape(-1, 6), mode="drop")
         gw = jnp.zeros((G3,), st.xe.dtype).at[flat].add(
             w27.reshape(-1), mode="drop")
-        acc = jax.lax.psum(acc, axis)
-        gw = jax.lax.psum(gw, axis)
+        acc = jax.lax.psum_scatter(acc, axis, scatter_dimension=0,
+                                   tiled=True)             # (slab, 6)
+        gw = jax.lax.psum_scatter(gw, axis, scatter_dimension=0,
+                                  tiled=True)
         covered = gw > 1e-15
         mesh_vel = acc[:, :3] / jnp.maximum(gw, 1e-15)[:, None]
         n = acc[:, 3:]
@@ -191,7 +265,7 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
         grid_v_out = jnp.where(covered[:, None], v_fric + mesh_vel,
                                grid_v_out)
 
-    # ---- particle mover (joint pinning): device 0's data, replicated -
+    # ---- particle mover (joint pinning) on the slab -------------------
     if joint_verts_v is not None and num_joint_v > 0:
         xv_all = jax.lax.all_gather(st.xv, axis, tiled=True)
         pts = xv_all[:num_joint_v]
@@ -202,10 +276,26 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
         w27 = w27 * inb[:, None].astype(w27.dtype)
         mv, mw = stepping._scatter_grid(
             w27[..., None] * joint_verts_v[:, None, :], w27, gidx, G3)
+        mv = jax.lax.psum_scatter(mv, axis, scatter_dimension=0,
+                                  tiled=True)
+        mw = jax.lax.psum_scatter(mw, axis, scatter_dimension=0,
+                                  tiled=True)
         covered = mw > 1e-15
         grid_v_out = jnp.where(covered[:, None],
                                mv / jnp.maximum(mw, 1e-15)[:, None],
                                grid_v_out)
+
+    # ---- grid BCs (surface / bbox / cuboid / mask) on the slab --------
+    if grid_post:
+        coords = stepping.slab_coords(cfg, slab_start, slab,
+                                      grid_v_out.dtype)
+        for col in grid_post:
+            grid_v_out = stepping.apply_grid_bc(
+                cfg, col, grid_v_out, time, dt, coords=coords,
+                cell_start=slab_start)
+
+    # ---- full grid for G2P (one all-gather of the owned slabs) --------
+    grid_v_out = jax.lax.all_gather(grid_v_out, axis, tiled=True)
 
     # ---- G2P: vertices locally, then all_gather for elements ---------
     def gather(x):
@@ -225,6 +315,15 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
     vv_new, cv_new, _ = gather(st.xv)
     xv_new = jnp.clip(st.xv + dt * vv_new, a_min, a_max)
 
+    if t_loc > 0:
+        vt_new, ct_new, grad_t = gather(st.xt)
+        xt_new = jnp.clip(st.xt + dt * vt_new, a_min, a_max)
+        eye = jnp.eye(3, dtype=st.xt.dtype)
+        ft_next = jnp.einsum("tab,tbc->tac",
+                             eye[None] + dt * grad_t, f_new)
+    else:
+        xt_new, vt_new, ct_new, ft_next = st.xt, st.vt, st.Ct, f_new
+
     _, ce_new, grad_e = gather(st.xe)
     xv_full = jax.lax.all_gather(xv_new, axis, tiled=True)
     vv_full = jax.lax.all_gather(vv_new, axis, tiled=True)
@@ -236,10 +335,14 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
     d3_old = d_new[..., :, 2]
     d3 = d3_old + dt * jnp.einsum("eab,eb->ea", grad_e, d3_old)
     d_out = jnp.stack([d1, d2, d3], axis=-1)
+    # padded elements (faces all 0) rebuild a singular d whose QR NaNs
+    # on the next substep — freeze them at identity instead
+    eye_e = jnp.broadcast_to(jnp.eye(3, dtype=d_out.dtype), d_out.shape)
+    d_out = jnp.where(st.valid_e[:, None, None] > 0.5, d_out, eye_e)
 
     return dataclasses.replace(
         st, xe=xe_new, xv=xv_new, ve=ve_new, vv=vv_new, Ce=ce_new,
-        Cv=cv_new, d=d_out)
+        Cv=cv_new, d=d_out, xt=xt_new, vt=vt_new, Ct=ct_new, Ft=ft_next)
 
 
 def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
@@ -287,6 +390,52 @@ def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
         in_specs=(P(axis), P(), P(axis), P(axis), P(), P(axis)),
         out_specs=(P(), P(), P(axis)),
         check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
+                       num_substeps: int, dt: float,
+                       num_joint_v: int = 0, axis: str = "dp",
+                       grid_post=(), with_mesh: bool = True,
+                       with_joints: bool = False):
+    """Jitted multi-chip forward frame over mixed cloth+sand scenes with
+    grid BCs — the SPMD counterpart of MPMSolver.frame.
+
+    Returns fn(st, um[, mesh_x (F,3,3), mesh_v][, joint_verts_v]) -> st
+    with particle arrays sharded over ``axis`` and the grid slab-
+    decomposed per substep (see _local_cloth_substep)."""
+
+    def frame(st, um, *rest):
+        i = 0
+        mesh_x = mesh_v = joint_verts_v = None
+        if with_mesh:
+            mesh_x, mesh_v = rest[i], rest[i + 1]
+            i += 2
+        if with_joints:
+            joint_verts_v = rest[i]
+        nv = st.xv.shape[0] * device_mesh.shape[axis]
+
+        def body(carry, s):
+            stc, t = carry
+            mx = (mesh_x + (s.astype(jnp.float32) * dt) * mesh_v
+                  if mesh_x is not None else None)
+            stc = _local_cloth_substep(
+                cfg, stc, um, dt, mx, mesh_v, joint_verts_v,
+                num_joint_v, nv, axis, grid_post=grid_post, time=t)
+            return (stc, t + dt), None
+
+        (st, _), _ = jax.lax.scan(body, (st, jnp.float32(0.0)),
+                                  jnp.arange(num_substeps))
+        return st
+
+    in_specs = [P(axis), P()]
+    if with_mesh:
+        in_specs += [P(axis), P(axis)]
+    if with_joints:
+        in_specs += [P()]
+    sharded = jax.shard_map(frame, mesh=device_mesh,
+                            in_specs=tuple(in_specs),
+                            out_specs=P(axis), check_vma=False)
     return jax.jit(sharded)
 
 

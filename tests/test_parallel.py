@@ -183,3 +183,68 @@ def test_sharded_gradients_match_single_device():
     assert np.isfinite(float(loss_sh))
     rel = abs(float(grads_sh.mu) - g_single) / max(abs(g_single), 1e-12)
     assert rel < 0.05, (float(grads_sh.mu), g_single)
+
+
+def test_sharded_mixed_sand_cloth_with_bcs_matches_single_device():
+    """Mixed cloth+sand scene with floor + bounding-box grid BCs: the
+    slab-decomposed 8-device step must match the single-device solver
+    (covers the traditional block, grid BCs and the reduce-scatter /
+    all-gather grid path added in round 2)."""
+    from mpmavatar_tpu.core import stepping
+    from mpmavatar_tpu.parallel import make_sharded_frame
+    from mpmavatar_tpu.sim import MPMSolver
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices[:8], ("dp",))
+
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.4)
+    rng = np.random.default_rng(0)
+    sand = (rng.random((64, 3)).astype(np.float32) * 0.15
+            + np.array([0.9, 1.3, 0.9], np.float32))
+    E, T, V = len(faces), len(sand), len(verts)
+    cfg = types.MPMStaticConfig(n_elements=E, n_traditional=T,
+                                n_vertices=V, n_grid=32, grid_lim=2.0,
+                                material=2)
+    d, r_inv, evol, vvol = types.cloth_geometry(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces))
+    x = jnp.concatenate([jnp.asarray(verts, jnp.float32)[faces].mean(1),
+                         jnp.asarray(sand),
+                         jnp.asarray(verts, jnp.float32)], 0)
+    svol = jnp.full((T,), 1e-6, jnp.float32)
+    vol = jnp.concatenate([evol, svol, vvol], 0)
+    state = types.make_state(cfg, x, faces=faces, d=d, R_inv=r_inv,
+                             vol=vol)
+    model = types.make_model(cfg.n_particles, E=300.0, nu=0.3)
+
+    # single-device reference with the grid BCs
+    solver = MPMSolver(cfg)
+    solver.add_surface_collider([0.0, 0.95, 0.0], [0.0, 1.0, 0.0],
+                                surface="slip")
+    solver.add_bounding_box()
+    n_sub = 6
+    s_ref = state
+    t = jnp.float32(0.0)
+    for k in range(n_sub):
+        s_ref = stepping.p2g2p(cfg, solver.colliders, s_ref, model,
+                               jnp.float32(1e-4), t)
+        t = t + 1e-4
+
+    # sharded run
+    st = shard_state(mesh, make_sharded_cloth_state(cfg, state, 8))
+    um = UniformModel(
+        mu=jnp.float32(model.mu[0]), lam=jnp.float32(model.lam[0]),
+        gamma=jnp.float32(500.0), kappa=jnp.float32(500.0),
+        friction_coeff=model.friction_coeff,
+        gravity=model.gravity, mesh_friction=jnp.float32(0.5),
+        alpha=model.alpha)
+    frame = make_sharded_frame(cfg, mesh, num_substeps=n_sub, dt=1e-4,
+                               grid_post=solver.colliders.grid_post,
+                               with_mesh=False)
+    out = frame(st, um)
+
+    np.testing.assert_allclose(np.asarray(out.xv)[:V],
+                               np.asarray(s_ref.x[E + T:]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.xt)[:T],
+                               np.asarray(s_ref.x[E:E + T]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.Ft)[:T],
+                               np.asarray(s_ref.F_trial), atol=3e-4)
