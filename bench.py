@@ -47,6 +47,26 @@ def build_body_sphere(n_theta=48, n_phi=48, center=(1.0, 0.9, 1.0), r=0.25):
 
 
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--grid", type=int, default=128,
+                        help="grid resolution (200 = training config, "
+                        "250 = demo config; arguments/__init__.py:96)")
+    parser.add_argument("--sand", type=int, default=0,
+                        help="traditional sand particles for the mixed "
+                        "demo-shape scene (e.g. 100000)")
+    parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--radius", type=int, default=2)
+    parser.add_argument("--row_cap", type=int, default=6144)
+    parser.add_argument("--render", action="store_true",
+                        help="benchmark the 1080p splat render instead "
+                        "(prints bench_render's JSON line)")
+    args = parser.parse_args()
+    if args.render:
+        import bench_render
+        bench_render.main()
+        return
+
     import jax
     # persistent compile cache: the TPU tunnel's remote compiles are slow
     jax.config.update("jax_compilation_cache_dir",
@@ -60,15 +80,27 @@ def main():
     nx = ny = 183
     verts, faces = build_cloth(nx, ny)
     n_v, n_e = len(verts), len(faces)
+    n_t = args.sand
+    G = args.grid
 
-    cfg = types.MPMStaticConfig(n_elements=n_e, n_traditional=0,
-                                n_vertices=n_v, n_grid=128, grid_lim=2.0,
-                                material=7, num_joint_v=256, num_joint_f=128)
+    cfg = types.MPMStaticConfig(n_elements=n_e, n_traditional=n_t,
+                                n_vertices=n_v, n_grid=G, grid_lim=2.0,
+                                material=(2 if n_t else 7),
+                                num_joint_v=256, num_joint_f=128)
     d, r_inv, evol, vvol = types.cloth_geometry(jnp.asarray(verts),
                                                 jnp.asarray(faces))
-    x = jnp.concatenate([jnp.asarray(verts)[faces].mean(1),
-                         jnp.asarray(verts)], 0)
-    vol = jnp.concatenate([evol, vvol], 0)
+    parts = [jnp.asarray(verts)[faces].mean(1)]
+    vols = [evol]
+    if n_t:
+        rngs = np.random.default_rng(0)
+        sand = (rngs.random((n_t, 3)).astype(np.float32)
+                * np.asarray([0.8, 0.1, 0.4]) + np.asarray([0.6, 1.6, 0.8]))
+        parts.append(jnp.asarray(sand))
+        vols.append(jnp.full((n_t,), 1e-7, jnp.float32))
+    parts.append(jnp.asarray(verts))
+    vols.append(vvol)
+    x = jnp.concatenate(parts, 0)
+    vol = jnp.concatenate(vols, 0)
     state = types.make_state(cfg, x, faces=faces, d=d, R_inv=r_inv, vol=vol)
     model = types.make_model(cfg.n_particles, E=2000.0, nu=0.3)
 
@@ -77,7 +109,10 @@ def main():
     # K=48 (the flat cloth stacks ~1800 particles per (x, y) column —
     # chunked rows keep that exact; overflow is asserted zero below)
     solver = MPMSolver(cfg, column_k=48, mesh_column_k=32, faces=faces,
-                       column_c_cap=6144, column_radius=2, rebin_auto=True)
+                       column_c_cap=args.row_cap,
+                       column_radius=args.radius,
+                       rebin_auto=args.radius > 1,
+                       column_pallas=args.pallas)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -118,6 +153,21 @@ def main():
     dt_wall = time.perf_counter() - t0
     sps = n_frames * substeps / dt_wall
 
+    mem = {}
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        mem = {"peak_bytes": int(ms.get("peak_bytes_in_use", 0))}
+    except Exception:
+        pass
+    suffix = "" if (G == 128 and not n_t) else f"_{G}grid" + (
+        f"_{n_t}sand" if n_t else "")
+    extra = {"metric": f"mpm_substeps_per_sec_100k_particles_{G}grid"
+             + (f"_{n_t}sand" if n_t else ""),
+             "value": round(sps, 2), "unit": "substeps/s",
+             "vs_baseline": round(sps / 60.0, 3), **mem}
+    if suffix:
+        print(json.dumps(extra))
+        return
     print(json.dumps({
         "metric": "mpm_substeps_per_sec_100k_particles_128grid",
         "value": round(sps, 2),

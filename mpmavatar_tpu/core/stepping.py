@@ -96,19 +96,28 @@ def _scatter_grid(vel_src, wt_src, gidx, n_cells):
 
 
 def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
-                   dt, vf_incidence=None):
+                   dt, vf_incidence=None, pallas: bool = False):
     """Return-map + stress for all non-vertex particles.
 
     Port of compute_stress_from_F_trial (mpm_utils.py:1017-1105).  Returns
     (new_d (E,3,3), new_F (T,3,3), new_yield_stress (P,),
     stress (E+T,3,3), vertex_force (V,3)).
-    """
+
+    ``pallas=True`` runs the element block through the fused plane-form
+    kernel (ops.pallas_stress) — same math, one HBM pass."""
     E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
     dtype = state.x.dtype
     new_ys = state.yield_stress
 
     # --- element (garment) particles ----------------------------------
-    if E > 0:
+    if E > 0 and pallas:
+        from ..ops.pallas_stress import cloth_stress_fused
+        sel_e = (state.selection[:E] == 0)
+        new_d, stress_e, f1, f2, f3 = cloth_stress_fused(
+            state.d, state.R_inv, state.vol[:E],
+            sel_e.astype(dtype), model.mu[:E], model.lam[:E],
+            model.gamma[:E], model.kappa[:E], model.friction_coeff)
+    elif E > 0:
         from . import linalg as _la
         sel_e = (state.selection[:E] == 0)
         # ONE QR serves both the return map and the stress: the map only
@@ -131,6 +140,12 @@ def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
         f1 = jnp.where(m_e, f1, 0.0)
         f2 = jnp.where(m_e, f2, 0.0)
         f3 = jnp.where(m_e, f3, 0.0)
+    else:
+        new_d = state.d
+        stress_e = jnp.zeros((0, 3, 3), dtype)
+        f1 = f2 = f3 = None
+
+    if E > 0:
         if vf_incidence is not None:
             # scatter-free: per-vertex incident (element, corner) lists
             # (TPU scatter is row-serialized; see ops.column_transfer)
@@ -144,8 +159,6 @@ def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
             vertex_force = vertex_force.at[state.faces[:, 1]].add(f2)
             vertex_force = vertex_force.at[state.faces[:, 2]].add(f3)
     else:
-        new_d = state.d
-        stress_e = jnp.zeros((0, 3, 3), dtype)
         vertex_force = jnp.zeros((V, 3), dtype)
 
     # --- traditional particles ----------------------------------------
@@ -280,14 +293,11 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
     return _scatter_grid(w27[..., None] * values[:, None, :], w27, gidx, G3)
 
 
-def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
-                        mesh_x, mesh_v, grid_v_out, column_k: int = 0):
-    """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
-    face centroid velocity + normal to the grid, then project out inward
-    relative normal velocity with Coulomb friction.
-
-    Returns (grid_v (G^3, 3), overflow ()) — overflow counts collider
-    faces dropped by the column splat caps (0 on the scatter path)."""
+def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
+                         mesh_x, mesh_v, column_k: int = 0):
+    """Rasterize face-centroid velocity + normal to the grid — the splat
+    half of apply_mesh_collider.  Returns (acc (G^3, 6), grid_w (G^3,),
+    overflow ())."""
     G3 = cfg.n_grid ** 3
     p0 = mesh_x[col.faces[:, 0]]
     p1 = mesh_x[col.faces[:, 1]]
@@ -318,7 +328,20 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
             (w27[..., None] * vals[:, None, :]).reshape(-1, 6), mode="drop")
         grid_w = jnp.zeros((G3,), mesh_x.dtype).at[flat].add(
             w27.reshape(-1), mode="drop")
+    return acc, grid_w, overflow
 
+
+def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
+                        mesh_x, mesh_v, grid_v_out, column_k: int = 0):
+    """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
+    face centroid velocity + normal to the grid, then project out inward
+    relative normal velocity with Coulomb friction.
+
+    Returns (grid_v (G^3, 3), overflow ()) — overflow counts collider
+    faces dropped by the column splat caps (0 on the scatter path)."""
+    from .linalg import safe_norm
+    acc, grid_w, overflow = mesh_collider_fields(cfg, col, mesh_x,
+                                                 mesh_v, column_k)
     covered = grid_w > 1e-15
     mesh_vel = acc[:, :3] / jnp.maximum(grid_w, 1e-15)[:, None]
     n = acc[:, 3:]
@@ -339,12 +362,11 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
                      grid_v_out), overflow
 
 
-def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
-                         joint_verts_v=None, joint_faces_v=None,
-                         joint_traditional_v=None):
-    """Joint-band Dirichlet velocities (mpm_solver.py:661-802): scatter the
-    prescribed joint velocities from the joint particles' positions, then
-    overwrite grid velocity where the weight field is nonzero."""
+def mover_fields(cfg: MPMStaticConfig, state: MPMState,
+                 joint_verts_v=None, joint_faces_v=None,
+                 joint_traditional_v=None):
+    """Prescribed joint-velocity splat — the scatter half of
+    apply_particle_mover.  Returns (grid_vel (G^3, 3), grid_w (G^3,))."""
     E, T = cfg.n_elements, cfg.n_traditional
     G3 = cfg.n_grid ** 3
     dtype = state.x.dtype
@@ -368,7 +390,17 @@ def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
     if joint_faces_v is not None and cfg.num_joint_f > 0:
         grid_vel, grid_w = add(state.x[:cfg.num_joint_f], joint_faces_v,
                                grid_vel, grid_w)
+    return grid_vel, grid_w
 
+
+def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
+                         joint_verts_v=None, joint_faces_v=None,
+                         joint_traditional_v=None):
+    """Joint-band Dirichlet velocities (mpm_solver.py:661-802): scatter the
+    prescribed joint velocities from the joint particles' positions, then
+    overwrite grid velocity where the weight field is nonzero."""
+    grid_vel, grid_w = mover_fields(cfg, state, joint_verts_v,
+                                    joint_faces_v, joint_traditional_v)
     covered = grid_w > 1e-15
     v = grid_vel / jnp.maximum(grid_w, 1e-15)[:, None]
     return jnp.where(covered[:, None], v, grid_v_out)
@@ -556,6 +588,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
                           "column_radius", "column_bf16", "column_pallas",
+                          "fused_grid", "fused_stress",
                           "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
@@ -574,6 +607,8 @@ def p2g2p(cfg: MPMStaticConfig,
           column_radius: int = 1,
           column_bf16: bool = False,
           column_pallas: bool = False,
+          fused_grid: Optional[bool] = None,
+          fused_stress: Optional[bool] = None,
           column_bins=None,
           vf_incidence: Optional[jnp.ndarray] = None,
           return_overflow: bool = False) -> MPMState:
@@ -625,8 +660,13 @@ def p2g2p(cfg: MPMStaticConfig,
                           jnp.broadcast_to(mod.velocity, v.shape), v)
     state = _dc.replace(state, v=v)
 
+    if fused_grid is None:
+        fused_grid = column_pallas
+    if fused_stress is None:
+        fused_stress = column_pallas
     new_d, new_f, new_ys, stress, vertex_force = compute_stress(
-        cfg, state, model, dt, vf_incidence=vf_incidence)
+        cfg, state, model, dt, vf_incidence=vf_incidence,
+        pallas=fused_stress)
     state = _dc.replace(state, d=new_d, F=new_f, yield_stress=new_ys)
 
     if column_k > 0:
@@ -658,25 +698,57 @@ def p2g2p(cfg: MPMStaticConfig,
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
-    grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
 
     overflow = bins.overflow if bins is not None else jnp.zeros((),
                                                                 jnp.int32)
-    for mc in colliders.mesh_colliders:
-        grid_v_out, mesh_of = apply_mesh_collider(cfg, mc, mesh_x, mesh_v,
-                                                  grid_v_out,
-                                                  column_k=mesh_column_k)
-        overflow = overflow + mesh_of
+    has_mover = colliders.use_particle_mover and (
+        joint_verts_v is not None or joint_faces_v is not None
+        or joint_traditional_v is not None)
 
-    if colliders.use_particle_mover and (
-            joint_verts_v is not None or joint_faces_v is not None
-            or joint_traditional_v is not None):
-        grid_v_out = apply_particle_mover(
-            cfg, state, grid_v_out, joint_verts_v, joint_faces_v,
-            joint_traditional_v)
+    from ..ops import pallas_grid_pipeline as _pgp
+    use_pipeline = (fused_grid
+                    and len(colliders.mesh_colliders) <= 1
+                    and _pgp.supported_bcs(colliders.grid_post))
+    if use_pipeline:
+        # fused single-pass grid pipeline: normalize+gravity -> mesh
+        # projection -> mover override -> BCs in one HBM read/write
+        has_mesh = len(colliders.mesh_colliders) == 1
+        if has_mesh:
+            acc, gw, mesh_of = mesh_collider_fields(
+                cfg, colliders.mesh_colliders[0], mesh_x, mesh_v,
+                column_k=mesh_column_k)
+            overflow = overflow + mesh_of
+            mesh_fric = colliders.mesh_colliders[0].friction
+        else:
+            acc = gw = None
+            mesh_fric = jnp.float32(0.0)
+        if has_mover:
+            mv_, mw_ = mover_fields(cfg, state, joint_verts_v,
+                                    joint_faces_v, joint_traditional_v)
+        else:
+            mv_ = mw_ = None
+        pipeline = _pgp.make_grid_pipeline(
+            cfg, colliders.grid_post, has_mesh=has_mesh,
+            has_mover=has_mover)
+        grid_v_out = pipeline(
+            grid_v_in, grid_m, acc, gw, mv_, mw_, model.gravity,
+            model.grid_v_damping_scale, mesh_fric, time, dt,
+            _pgp.pack_surface_params(colliders.grid_post))
+    else:
+        grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
+        for mc in colliders.mesh_colliders:
+            grid_v_out, mesh_of = apply_mesh_collider(
+                cfg, mc, mesh_x, mesh_v, grid_v_out,
+                column_k=mesh_column_k)
+            overflow = overflow + mesh_of
 
-    for col in colliders.grid_post:
-        grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time, dt)
+        if has_mover:
+            grid_v_out = apply_particle_mover(
+                cfg, state, grid_v_out, joint_verts_v, joint_faces_v,
+                joint_traditional_v)
+
+        for col in colliders.grid_post:
+            grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time, dt)
 
     if column_k > 0 and column_pallas:
         from ..ops import pallas_transfer as _pt

@@ -116,9 +116,15 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
                           jnp.clip(seg_count[s_of_r] - chunk * K, 0, K), 0)
 
     slots = jnp.arange(K)
-    idx = row_start[:, None] + slots[None, :]
     valid = slots[None, :] < row_count[:, None]
-    pid = jnp.where(valid, perm[jnp.clip(idx, 0, P - 1)], P)
+    # row slots are CONTIGUOUS in the sorted order -> one gather of C
+    # K-wide slices instead of C*K scalar rows (TPU gathers are
+    # row-latency-bound: ~8 ns per row regardless of width)
+    perm_pad = jnp.concatenate([perm, jnp.full((K,), P, jnp.int32)])
+    pid_rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(perm_pad, (s,), (K,)))(
+        jnp.clip(row_start, 0, P))
+    pid = jnp.where(valid, pid_rows, P)
 
     # per-particle row / in-row slot, restored to original order (sort 2)
     row_of_p = row_off[jnp.clip(seg_id, 0, c_cap - 1)] + rank_sorted // K

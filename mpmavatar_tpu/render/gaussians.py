@@ -171,12 +171,15 @@ def _binding_counter(g: GaussianParams, num_faces: int):
 def densify_and_prune(g: GaussianParams, ds: DensifyState, frames: FaceFrames,
                       num_faces: int, max_grad: float, min_opacity: float,
                       extent: float, percent_dense: float = 0.01,
-                      key=None, n_split: int = 2):
+                      key=None, n_split: int = 2,
+                      max_screen_size: Optional[float] = None):
     """Clone + split + prune in padded capacity
     (gaussian_model.py:453-521).  Free slots are consumed in order; when
     capacity runs out the lowest-priority new points are dropped (the
-    reference would have grown the arrays).  Returns (params, fresh stats).
-    """
+    reference would have grown the arrays).  ``max_screen_size`` prunes
+    gaussians whose accumulated max 2D radius exceeds it (the reference's
+    size_threshold=20 px after the first opacity reset,
+    train_appearance.py:252).  Returns (params, fresh stats)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     cap = g.capacity
@@ -254,7 +257,10 @@ def densify_and_prune(g: GaussianParams, ds: DensifyState, frames: FaceFrames,
     prune = split_mask & (next_rank + n_split * split_ordinal
                           + (n_split - 1) < n_free)
     prune = prune | (get_opacity(out)[:, 0] < min_opacity)
-    prune = prune | (jnp.max(get_scaling(out, frames), axis=1) > 0.1 * extent)
+    if max_screen_size is not None:
+        prune = prune | (ds.max_radii2d > max_screen_size)
+        prune = prune | (jnp.max(get_scaling(out, frames), axis=1)
+                         > 0.1 * extent)
     prune = prune & alive
 
     out = dataclasses.replace(out, alive=alive)

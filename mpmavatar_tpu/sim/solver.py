@@ -48,7 +48,8 @@ class MPMSolver:
                  mesh_column_k: int = 0, faces=None,
                  column_c_cap=None, column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 rebin_auto: bool = False, column_pallas: bool = False):
+                 rebin_auto: bool = False, column_pallas: bool = False,
+                 fused_grid=None, fused_stress=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -63,6 +64,8 @@ class MPMSolver:
         self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
         self.column_pallas = column_pallas
+        self.fused_grid = fused_grid
+        self.fused_stress = fused_stress
         if rebin_every > 1 or rebin_auto:
             assert column_radius >= 2, (
                 "amortized rebinning needs column_radius >= 2")
@@ -235,6 +238,8 @@ class MPMSolver:
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
                               column_pallas=self.column_pallas,
+                              fused_grid=self.fused_grid,
+                              fused_stress=self.fused_stress,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -295,6 +300,8 @@ class MPMSolver:
                                        column_radius=self.column_radius,
                                        column_bf16=self.column_bf16,
                                        column_pallas=self.column_pallas,
+                                       fused_grid=self.fused_grid,
+                                       fused_stress=self.fused_stress,
                                        column_bins=bins,
                                        vf_incidence=self.vf_incidence,
                                        return_overflow=True, **kw)

@@ -86,15 +86,22 @@ def main():
                 aux["radii"][:params.splats.capacity],
                 aux["visible"][:params.splats.capacity])
             if it % opt.densification_interval == 0 and it > 0:
+                # size_threshold=20 px after the first opacity reset
+                # (train_appearance.py:251-252)
+                size_thr = 20.0 if it > opt.opacity_reset_interval else None
                 splats, densify_state = G.densify_and_prune(
                     params.splats, densify_state, frames, num_faces,
                     opt.densify_grad_threshold, 0.005,
                     scene.train_dataset.scene_radius,
                     percent_dense=opt.percent_dense,
-                    key=jax.random.PRNGKey(it))
+                    key=jax.random.PRNGKey(it),
+                    max_screen_size=size_thr)
                 import dataclasses as _dc
                 params = _dc.replace(params, splats=splats)
-            if it % opt.opacity_reset_interval == 0 and it > 0:
+            if (it % opt.opacity_reset_interval == 0 and it > 0) or (
+                    cfg.white_bkgd and it == opt.densify_from_iter):
+                # white-background runs reset once more at densify start
+                # (train_appearance.py:254-255)
                 import dataclasses as _dc
                 params = _dc.replace(
                     params, splats=G.reset_opacity(params.splats))
