@@ -56,8 +56,17 @@ def main():
                         help="traditional sand particles for the mixed "
                         "demo-shape scene (e.g. 100000)")
     parser.add_argument("--pallas", action="store_true")
-    parser.add_argument("--radius", type=int, default=2)
+    parser.add_argument("--no_fused", action="store_true",
+                        help="disable the fused grid-pipeline + stress "
+                        "kernels (they are parity-exact and faster; on "
+                        "by default)")
+    parser.add_argument("--radius", type=int, default=1,
+                        help="column shift radius; 1 = exact rebin every "
+                        "substep (fastest since the two-sort bins), 2 = "
+                        "amortized drift-based rebinning")
     parser.add_argument("--row_cap", type=int, default=6144)
+    parser.add_argument("--no_auto_cap", action="store_true",
+                        help="disable per-frame adaptive row caps")
     parser.add_argument("--render", action="store_true",
                         help="benchmark the 1080p splat render instead "
                         "(prints bench_render's JSON line)")
@@ -112,7 +121,9 @@ def main():
                        column_c_cap=args.row_cap,
                        column_radius=args.radius,
                        rebin_auto=args.radius > 1,
-                       column_pallas=args.pallas)
+                       column_pallas=args.pallas,
+                       fused_grid=(not args.no_fused) or None,
+                       fused_stress=(not args.no_fused) or None)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -124,32 +135,49 @@ def main():
     jv = jnp.zeros((cfg.num_joint_v, 3), jnp.float32)
     jf = jnp.zeros((cfg.num_joint_f, 3), jnp.float32)
 
-    def run_frame(st):
-        st, _, of = solver.frame(st, model, dt, substeps, 0.0,
-                                 mesh_x=mesh_x, mesh_v=mesh_v,
-                                 joint_verts_v=jv, joint_faces_v=jf,
-                                 return_overflow=True)
-        return st, of
-
-    run_checked = jax.jit(run_frame)
-    run = jax.jit(lambda st: run_frame(st)[0])
-
     def sync(st):
         # device->host transfer: genuinely waits for completion (the
         # tunneled runtime's block_until_ready can return early).
         float(jnp.sum(st.x))
         return st
 
-    state, of = run_checked(state)                    # compile + warmup
+    runs = {}
+
+    def run_for_cap(cap):
+        # one jitted frame per row cap (the cap is a static shape knob);
+        # the ladder is small so the compile cache covers real runs
+        if cap not in runs:
+            solver.column_c_cap = cap
+
+            def run_frame(st):
+                st, _, of = solver.frame(st, model, dt, substeps, 0.0,
+                                         mesh_x=mesh_x, mesh_v=mesh_v,
+                                         joint_verts_v=jv,
+                                         joint_faces_v=jf,
+                                         return_overflow=True)
+                return st, of
+
+            runs[cap] = jax.jit(run_frame)
+        return runs[cap]
+
+    auto_cap = not args.no_auto_cap
+
+    def frame(st):
+        cap = (solver.adapt_row_cap(st) if auto_cap else args.row_cap)
+        return run_for_cap(cap)(st)
+
+    state, of = frame(state)                          # compile + warmup
     solver.check_overflow(of, "bench warmup frame")   # honest workload
     state = sync(state)
-    state = sync(run(state))
+    state, of = frame(state)
+    state = sync(state)
 
     n_frames = 5
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        state = run(state)
-    sync(state)
+        state, of = frame(state)
+        state = sync(state)   # per-frame host sync: cap probe needs x
+    solver.check_overflow(of, "bench last frame")
     dt_wall = time.perf_counter() - t0
     sps = n_frames * substeps / dt_wall
 

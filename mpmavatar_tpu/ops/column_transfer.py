@@ -52,6 +52,32 @@ def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
                max(1024, n_points // 8))
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def count_rows(x: jnp.ndarray, cfg: MPMStaticConfig, K: int):
+    """Exact pack-table row count for the current positions — the
+    adaptive-row-cap probe (one sort + cumsum; run once per frame)."""
+    G = cfg.n_grid
+    base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
+    col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
+                                                        G - 1)
+    sorted_col = jax.lax.sort(col)
+    flags = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                             (sorted_col[1:] != sorted_col[:-1])
+                             .astype(jnp.int32)])
+    seg_id = jnp.cumsum(flags) - 1
+    # per-segment counts via first positions of each segment
+    P = x.shape[0]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(flags > 0, iota, 0))
+    # rows = sum over segments of ceil(count/K); count at each segment
+    # END position = iota - seg_start + 1
+    is_end = jnp.concatenate([(sorted_col[1:] != sorted_col[:-1]),
+                              jnp.ones((1,), bool)])
+    count_at_end = iota - seg_start + 1
+    rows = jnp.sum(jnp.where(is_end, (count_at_end + K - 1) // K, 0))
+    return rows
+
+
 def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
                c_cap: Optional[int] = None) -> ColumnBins:
     """Sort-and-pack points by (x, y) base-cell column into (row, slot)

@@ -326,6 +326,29 @@ class MPMSolver:
             return state, time, overflow
         return state, time
 
+    _CAP_LADDER = (1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
+                   24576, 32768)
+
+    def adapt_row_cap(self, state: MPMState, headroom: float = 1.35):
+        """Adaptive row cap: size ``column_c_cap`` to the CURRENT
+        particle distribution (+headroom) from a discrete ladder, once
+        per frame on the host.  Transfer compute scales with the cap, so
+        a flat cloth (few occupied columns) runs ~2-3x cheaper than the
+        worst-case static cap; each ladder value compiles once (the
+        in-frame overflow check still fails loud if drift outruns the
+        headroom).  Returns the chosen cap."""
+        if self.column_k <= 0:
+            return self.column_c_cap
+        from ..ops import column_transfer as _ct
+        rows = int(_ct.count_rows(state.x, self.cfg, self.column_k))
+        want = int(rows * headroom)
+        for cap in self._CAP_LADDER:
+            if cap >= want:
+                self.column_c_cap = cap
+                return cap
+        self.column_c_cap = self._CAP_LADDER[-1]
+        return self.column_c_cap
+
     @staticmethod
     def check_overflow(overflow, context: str = "rollout"):
         """Host-side fail-loud check of the overflow telemetry returned by

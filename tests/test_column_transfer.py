@@ -292,3 +292,16 @@ def test_chunked_rows_dense_columns():
     st_r, _ = s_ref.frame(state, model, 2e-4, 10, 0.0)
     np.testing.assert_allclose(np.asarray(st_c.x), np.asarray(st_r.x),
                                atol=1e-5)
+
+
+def test_count_rows_matches_build_bins():
+    """The adaptive-cap probe must equal the real pack-table occupancy."""
+    from test_substep_golden import make_cloth, build_pair
+    for nx, K in ((9, 8), (14, 4), (6, 64)):
+        verts, faces = make_cloth(nx=nx, ny=nx, y0=1.1, extent=0.5)
+        _, cfg, state, model = build_pair(verts, faces, E=200.0)
+        rows = int(ct.count_rows(state.x, cfg, K))
+        bins = ct.build_bins(state.x, cfg, K, c_cap=4096)
+        used = int((np.asarray(bins.active_col)
+                    < cfg.n_grid * cfg.n_grid).sum())
+        assert rows == used, (nx, K, rows, used)

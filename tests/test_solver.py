@@ -165,3 +165,25 @@ def test_rebin_auto_matches_exact():
     a = run()
     b = run(column_radius=2, rebin_auto=True)
     np.testing.assert_allclose(b, a, atol=1e-7)
+
+
+def test_adaptive_row_cap():
+    """adapt_row_cap sizes the cap to the scene (+headroom) from the
+    ladder and the adapted frame still matches the scatter path."""
+    from test_substep_golden import make_cloth, build_pair
+    from mpmavatar_tpu.ops import column_transfer as ct
+    from mpmavatar_tpu.sim import MPMSolver
+
+    verts, faces = make_cloth(nx=12, ny=12, y0=1.1, extent=0.5)
+    _, cfg, state, model = build_pair(verts, faces, E=300.0)
+    s = MPMSolver(cfg, column_k=8, faces=faces)
+    cap = s.adapt_row_cap(state)
+    rows = int(ct.count_rows(state.x, cfg, 8))
+    assert cap in MPMSolver._CAP_LADDER
+    assert rows < cap <= max(2 * int(rows * 1.35), 1536)
+    st, _, of = s.frame(state, model, 2e-4, 6, 0.0, return_overflow=True)
+    assert int(of) == 0
+    s0 = MPMSolver(cfg, column_k=0)
+    st0, _ = s0.frame(state, model, 2e-4, 6, 0.0)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(st0.x),
+                               atol=1e-5)
