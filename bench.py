@@ -127,6 +127,8 @@ def main():
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
+    # static body: one splat-cap probe covers the whole run
+    solver.adapt_mesh_cap(jnp.asarray(body_v))
 
     dt = 1e-4
     substeps = 100

@@ -294,7 +294,8 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
 
 
 def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
-                         mesh_x, mesh_v, column_k: int = 0):
+                         mesh_x, mesh_v, column_k: int = 0,
+                         c_cap=None):
     """Rasterize face-centroid velocity + normal to the grid — the splat
     half of apply_mesh_collider.  Returns (acc (G^3, 6), grid_w (G^3,),
     overflow ())."""
@@ -315,7 +316,7 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
     if column_k > 0:
         from ..ops import column_transfer as _ct
         acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,
-                                                  column_k)
+                                                  column_k, c_cap=c_cap)
     else:
         overflow = jnp.zeros((), jnp.int32)
         base, fx, w, _ = bspline(centroid, cfg.inv_dx)
@@ -332,7 +333,8 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
 
 
 def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
-                        mesh_x, mesh_v, grid_v_out, column_k: int = 0):
+                        mesh_x, mesh_v, grid_v_out, column_k: int = 0,
+                        c_cap=None):
     """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
     face centroid velocity + normal to the grid, then project out inward
     relative normal velocity with Coulomb friction.
@@ -341,7 +343,8 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     faces dropped by the column splat caps (0 on the scatter path)."""
     from .linalg import safe_norm
     acc, grid_w, overflow = mesh_collider_fields(cfg, col, mesh_x,
-                                                 mesh_v, column_k)
+                                                 mesh_v, column_k,
+                                                 c_cap=c_cap)
     covered = grid_w > 1e-15
     mesh_vel = acc[:, :3] / jnp.maximum(grid_w, 1e-15)[:, None]
     n = acc[:, 3:]
@@ -587,6 +590,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
+                          "mesh_c_cap",
                           "column_radius", "column_bf16", "column_pallas",
                           "fused_grid", "fused_stress",
                           "return_overflow"))
@@ -603,6 +607,7 @@ def p2g2p(cfg: MPMStaticConfig,
           joint_traditional_v: Optional[jnp.ndarray] = None,
           column_k: int = 0,
           mesh_column_k: int = 0,
+          mesh_c_cap: Optional[int] = None,
           column_c_cap: Optional[int] = None,
           column_radius: int = 1,
           column_bf16: bool = False,
@@ -716,7 +721,7 @@ def p2g2p(cfg: MPMStaticConfig,
         if has_mesh:
             acc, gw, mesh_of = mesh_collider_fields(
                 cfg, colliders.mesh_colliders[0], mesh_x, mesh_v,
-                column_k=mesh_column_k)
+                column_k=mesh_column_k, c_cap=mesh_c_cap)
             overflow = overflow + mesh_of
             mesh_fric = colliders.mesh_colliders[0].friction
         else:
@@ -739,7 +744,7 @@ def p2g2p(cfg: MPMStaticConfig,
         for mc in colliders.mesh_colliders:
             grid_v_out, mesh_of = apply_mesh_collider(
                 cfg, mc, mesh_x, mesh_v, grid_v_out,
-                column_k=mesh_column_k)
+                column_k=mesh_column_k, c_cap=mesh_c_cap)
             overflow = overflow + mesh_of
 
         if has_mover:

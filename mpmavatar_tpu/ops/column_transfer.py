@@ -480,9 +480,9 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
             vals[:, 12:21].reshape(P, 3, 3))
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
-                  bounds_check: bool = True):
+                  bounds_check: bool = True, c_cap: Optional[int] = None):
     """Generic w-weighted splat: scatter-free replacement for
     core.stepping.rasterize_to_grid (mesh collider / particle mover).
     Returns (grid_vals (G^3, C), grid_w (G^3,), overflow ()) — overflow
@@ -490,7 +490,7 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
     faces distort contact normals, so callers must surface it)."""
     G = cfg.n_grid
     Cch = values.shape[-1]
-    bins = build_bins(points, cfg, K)
+    bins = build_bins(points, cfg, K, c_cap=c_cap)
     pid, valid = bins.pid, bins.valid
     C_cap = pid.shape[0]
 

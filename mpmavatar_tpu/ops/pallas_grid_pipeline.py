@@ -218,11 +218,18 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
     math = _make_math(cfg.n_grid, surfaces, has_bbox, bbox_pad,
                       has_mesh, has_mover, float(cfg.dx))
     n = cfg.n_grid ** 3
-    assert n % _LANES == 0
-    rows = n // _LANES
-    br = block_rows
+    # pad the flat cell axis so every slab is a whole number of
+    # sublane-aligned (128-row, 128-lane) blocks: G need not be
+    # lane-divisible (200^3 rows = 62500, 250^3 isn't even a multiple
+    # of 128).  Padding cells have zero mass -> v = 0, sliced off at
+    # the end.
+    rows = -(-n // _LANES)
+    rows = -(-rows // 128) * 128
+    n_pad = rows * _LANES
+    br = min(block_rows, rows)
     while rows % br:
         br //= 2
+    assert br % 8 == 0 or br == rows, (rows, br)
 
     @jax.custom_vjp
     def run(gvr, gmr, maccr, mvvr, mvwr, scal, row0):
@@ -252,22 +259,31 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
     run.defvjp(fwd, bwd)
 
     def to_rows(arr, c):
-        # (N, c) -> (rows, c, 128)
+        # (N, c) -> (rows, c, 128), zero-padding the cell axis to n_pad
+        if n_pad != n:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((n_pad - n, c), arr.dtype)], axis=0)
         return arr.reshape(rows, _LANES, c).transpose(0, 2, 1)
+
+    def to_rows1(arr):
+        # (N,) -> (rows, 1, 128)
+        if n_pad != n:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((n_pad - n,), arr.dtype)], axis=0)
+        return arr.reshape(rows, 1, _LANES)
 
     def pipeline(grid_v_in, grid_m, mesh_acc, mesh_gw, mover_v, mover_w,
                  gravity, damping, mesh_friction, time, dt, surf_params):
         gvr = to_rows(grid_v_in, 3)
-        gmr = grid_m.reshape(rows, 1, _LANES)
+        gmr = to_rows1(grid_m)
         if mesh_acc is not None:
             maccr = jnp.concatenate(
-                [to_rows(mesh_acc, 6),
-                 mesh_gw.reshape(rows, 1, _LANES)], axis=1)
+                [to_rows(mesh_acc, 6), to_rows1(mesh_gw)], axis=1)
         else:
             maccr = jnp.zeros((rows, 7, _LANES), jnp.float32)
         mvvr = (to_rows(mover_v, 3) if mover_v is not None
                 else jnp.zeros((rows, 3, _LANES), jnp.float32))
-        mvwr = (mover_w.reshape(rows, 1, _LANES) if mover_w is not None
+        mvwr = (to_rows1(mover_w) if mover_w is not None
                 else jnp.zeros((rows, 1, _LANES), jnp.float32))
         scal = jnp.concatenate(
             [jnp.asarray(gravity, jnp.float32).reshape(3),
@@ -291,7 +307,7 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
                         jnp.full((1,), s, jnp.int32))
                     for s in range(0, rows, slab)]
             out = jnp.concatenate(outs, axis=0)        # (rows, 3, 128)
-        return out.transpose(0, 2, 1).reshape(n, 3)
+        return out.transpose(0, 2, 1).reshape(n_pad, 3)[:n]
 
     return pipeline
 

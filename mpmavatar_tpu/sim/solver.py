@@ -46,7 +46,8 @@ class MPMSolver:
 
     def __init__(self, cfg: MPMStaticConfig, column_k: int = 0,
                  mesh_column_k: int = 0, faces=None,
-                 column_c_cap=None, column_radius: int = 1,
+                 column_c_cap=None, mesh_c_cap=None,
+                 column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
                  rebin_auto: bool = False, column_pallas: bool = False,
                  fused_grid=None, fused_stress=None):
@@ -58,6 +59,7 @@ class MPMSolver:
         self.colliders = ColliderSet()
         self.column_k = column_k
         self.mesh_column_k = mesh_column_k
+        self.mesh_c_cap = mesh_c_cap
         self.column_c_cap = column_c_cap
         self.column_radius = column_radius
         self.rebin_every = rebin_every
@@ -234,6 +236,7 @@ class MPMSolver:
                               jnp.float32(dt), jnp.float32(time),
                               column_k=self.column_k,
                               mesh_column_k=self.mesh_column_k,
+                              mesh_c_cap=self.mesh_c_cap,
                               column_c_cap=self.column_c_cap,
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
@@ -296,6 +299,7 @@ class MPMSolver:
                                        jnp.float32(dt), t,
                                        column_k=self.column_k,
                                        mesh_column_k=self.mesh_column_k,
+                                       mesh_c_cap=self.mesh_c_cap,
                                        column_c_cap=self.column_c_cap,
                                        column_radius=self.column_radius,
                                        column_bf16=self.column_bf16,
@@ -348,6 +352,27 @@ class MPMSolver:
                 return cap
         self.column_c_cap = self._CAP_LADDER[-1]
         return self.column_c_cap
+
+    def adapt_mesh_cap(self, mesh_x, headroom: float = 1.15,
+                       quantum: int = 256):
+        """Adaptive row cap for the mesh-collider splat: probe the pack
+        rows of the CURRENT collider face centroids (+headroom), rounded
+        up to ``quantum`` so a moving body re-compiles at most every
+        quantum-row change.  Call once per frame before ``frame`` when
+        the body mesh moves; a static body needs one call.  Worst case
+        is n_faces rows, so the cap is clamped there (always exact)."""
+        if self.mesh_column_k <= 0 or not self.colliders.mesh_colliders:
+            return self.mesh_c_cap
+        from ..ops import column_transfer as _ct
+        caps = []
+        for mc in self.colliders.mesh_colliders:
+            centroid = mesh_x[mc.faces].mean(axis=1)
+            rows = int(_ct.count_rows(centroid, self.cfg,
+                                      self.mesh_column_k))
+            want = -(-int(rows * headroom) // quantum) * quantum
+            caps.append(min(want, int(mc.faces.shape[0])))
+        self.mesh_c_cap = max(caps)
+        return self.mesh_c_cap
 
     @staticmethod
     def check_overflow(overflow, context: str = "rollout"):
