@@ -590,7 +590,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
 
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
-                          "mesh_c_cap",
+                          "mesh_c_cap", "column_ztile",
                           "column_radius", "column_bf16", "column_pallas",
                           "fused_grid", "fused_stress",
                           "return_overflow"))
@@ -609,6 +609,7 @@ def p2g2p(cfg: MPMStaticConfig,
           mesh_column_k: int = 0,
           mesh_c_cap: Optional[int] = None,
           column_c_cap: Optional[int] = None,
+          column_ztile: bool = False,
           column_radius: int = 1,
           column_bf16: bool = False,
           column_pallas: bool = False,
@@ -674,11 +675,18 @@ def p2g2p(cfg: MPMStaticConfig,
         pallas=fused_stress)
     state = _dc.replace(state, d=new_d, F=new_f, yield_stress=new_ys)
 
+    # z-tiled bins ((x, y, z-tile) keys, _ZW-lane windows): measured
+    # SLOWER than full-Gz columns on v5e at both 128^3 and 200^3 (the
+    # einsum's MXU pass count doesn't shrink below one 128-lane tile,
+    # and the dense fine grid G^2*T ~= 1.07*G^3 makes its scatter/fold
+    # cost rival the plain layout) — kept as an opt-in experiment knob.
+    ztile = (column_ztile and column_k > 0 and column_radius == 1
+             and not column_pallas and column_bins is None)
     if column_k > 0:
         from ..ops import column_transfer as _ct
         bins = (column_bins if column_bins is not None else
                 _ct.build_bins(state.x, cfg, column_k,
-                               c_cap=column_c_cap))
+                               c_cap=column_c_cap, ztile=ztile))
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C
@@ -695,11 +703,13 @@ def p2g2p(cfg: MPMStaticConfig,
         else:
             geom = _ct.pack_geometry(
                 cfg, state.x, bins, radius=column_radius,
-                zb_dtype=(jnp.bfloat16 if column_bf16 else None))
+                zb_dtype=(jnp.bfloat16 if column_bf16 else None),
+                ztile=ztile)
             grid_v_in, grid_m = _ct.p2g_columns(
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-                radius=column_radius, geom=geom, bf16=column_bf16)
+                radius=column_radius, geom=geom, bf16=column_bf16,
+                ztile=ztile)
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
@@ -766,7 +776,7 @@ def p2g2p(cfg: MPMStaticConfig,
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
                                    bins=bins, radius=column_radius,
                                    bf16=column_bf16,
-                                   geom=geom)
+                                   geom=geom, ztile=ztile)
     else:
         gathered = None
     x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,

@@ -52,14 +52,41 @@ def default_col_cap(cfg: MPMStaticConfig, n_points: int) -> int:
                max(1024, n_points // 8))
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def count_rows(x: jnp.ndarray, cfg: MPMStaticConfig, K: int):
-    """Exact pack-table row count for the current positions — the
-    adaptive-row-cap probe (one sort + cumsum; run once per frame)."""
+# z-tiled binning: rows are (x, y, z-tile) bins instead of full (x, y)
+# columns, so the z-basis spans a _ZW-lane window instead of all Gz
+# cells — the transfer matmuls and z-tensors become G-independent
+# (zb shrinks 4x at G=128, 6x+ at the 200^3/250^3 production grids).
+# A tile holds base-z cells [t*_ZH, (t+1)*_ZH); its 3-tap stencil writes
+# z in [t*_ZH, t*_ZH + _ZH + 1], i.e. a _ZW = _ZH + 2 window.  Only the
+# exact-rebin path (radius == 1) uses z tiles: cross-tile drift would
+# need rebinning, which that path does every substep anyway.
+_ZW = 32
+_ZH = _ZW - 2
+
+
+def n_ztiles(G: int) -> int:
+    return -(-G // _ZH)
+
+
+def _bin_key(x, cfg: MPMStaticConfig, ztile: bool):
+    """Flat bin id per point + the sentinel id (== number of bins)."""
     G = cfg.n_grid
     base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
     col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
                                                         G - 1)
+    if not ztile:
+        return col, G * G
+    T = n_ztiles(G)
+    tile = jnp.clip(base[:, 2], 0, G - 1) // _ZH
+    return col * T + tile, G * G * T
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def count_rows(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
+               ztile: bool = False):
+    """Exact pack-table row count for the current positions — the
+    adaptive-row-cap probe (one sort + cumsum; run once per frame)."""
+    col, _ = _bin_key(x, cfg, ztile)
     sorted_col = jax.lax.sort(col)
     flags = jnp.concatenate([jnp.ones((1,), jnp.int32),
                              (sorted_col[1:] != sorted_col[:-1])
@@ -79,7 +106,8 @@ def count_rows(x: jnp.ndarray, cfg: MPMStaticConfig, K: int):
 
 
 def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
-               c_cap: Optional[int] = None) -> ColumnBins:
+               c_cap: Optional[int] = None,
+               ztile: bool = False) -> ColumnBins:
     """Sort-and-pack points by (x, y) base-cell column into (row, slot)
     tables of K slots per row.
 
@@ -100,9 +128,7 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     P = x.shape[0]
     if c_cap is None:
         c_cap = default_col_cap(cfg, P)
-    base = jnp.floor(x * cfg.inv_dx - 0.5).astype(jnp.int32)
-    col = jnp.clip(base[:, 0], 0, G - 1) * G + jnp.clip(base[:, 1], 0,
-                                                        G - 1)
+    col, sentinel = _bin_key(x, cfg, ztile)
     iota = jnp.arange(P, dtype=jnp.int32)
     # sort 1: by column id, carrying the original index
     sorted_col, perm = jax.lax.sort((col, iota), num_keys=1)
@@ -122,7 +148,7 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     n_seg = seg_id[-1] + 1
     seg_col = jnp.where(jnp.arange(c_cap) < n_seg,
                         sorted_col[jnp.clip(first_pos[:c_cap], 0,
-                                            P - 1)], G * G)
+                                            P - 1)], sentinel)
     seg_count = first_pos[1:] - first_pos[:-1]
     rows_per_seg = (seg_count + K - 1) // K
     row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -135,7 +161,7 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     s_of_r = jnp.clip(jnp.searchsorted(row_off, r, side="right") - 1,
                       0, c_cap - 1)
     valid_row = r < total_rows
-    active_col = jnp.where(valid_row, seg_col[s_of_r], G * G)
+    active_col = jnp.where(valid_row, seg_col[s_of_r], sentinel)
     chunk = r - row_off[s_of_r]
     row_start = first_pos[s_of_r] + chunk * K
     row_count = jnp.where(valid_row,
@@ -143,13 +169,12 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
 
     slots = jnp.arange(K)
     valid = slots[None, :] < row_count[:, None]
-    # row slots are CONTIGUOUS in the sorted order -> one gather of C
-    # K-wide slices instead of C*K scalar rows (TPU gathers are
-    # row-latency-bound: ~8 ns per row regardless of width)
+    # row slots are CONTIGUOUS in the sorted order; a flat C*K gather
+    # measures ~2x faster than C vmap'd K-wide dynamic slices on v5e
+    # (2.6 vs 4.9 ms at C=3072, K=48)
     perm_pad = jnp.concatenate([perm, jnp.full((K,), P, jnp.int32)])
-    pid_rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(perm_pad, (s,), (K,)))(
-        jnp.clip(row_start, 0, P))
+    pid_rows = perm_pad[jnp.clip(row_start, 0, P)[:, None]
+                        + slots[None, :]]
     pid = jnp.where(valid, pid_rows, P)
 
     # per-particle row / in-row slot, restored to original order (sort 2)
@@ -199,6 +224,35 @@ def _z_bases(px_z, base_z, cfg, Gz):
     return jnp.stack([z0, z1, z2], axis=-2)  # (C, K, 3, Gz)
 
 
+def _z_bases_win(px_z, base_z, cfg, tile):
+    """Windowed z-basis (C, K, 3, _ZW): same three basis rows as
+    _z_bases but indexed z-local to the row's tile window
+    [tile*_ZH, tile*_ZH + _ZW).  Taps outside the window (points whose
+    base-z was clipped into the tile) get zero weight, matching the
+    no-hit behavior of the full-Gz one-hot."""
+    inv_dx = cfg.inv_dx
+    gz = px_z * inv_dx
+    fz = gz - base_z.astype(px_z.dtype)
+    wa = 1.5 - fz
+    wb = fz - 1.0
+    wc = fz - 0.5
+    wz = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
+    dwz = jnp.stack([fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5], -1) * inv_dx
+
+    zloc = base_z - (tile * _ZH)[:, None]       # (C, K) window-local
+    zline = jnp.arange(_ZW, dtype=jnp.int32)
+    z0 = jnp.zeros(px_z.shape + (_ZW,), px_z.dtype)
+    z1 = jnp.zeros_like(z0)
+    z2 = jnp.zeros_like(z0)
+    for o in range(3):
+        hit = (zline[None, None, :] == (zloc + o)[..., None])
+        hitf = hit.astype(px_z.dtype)
+        z0 = z0 + hitf * wz[..., o, None]
+        z1 = z1 + hitf * ((float(o) - fz) * wz[..., o])[..., None]
+        z2 = z2 + hitf * dwz[..., o, None]
+    return jnp.stack([z0, z1, z2], axis=-2)  # (C, K, 3, _ZW)
+
+
 def shift_set(radius: int = 1):
     """Per-axis column shifts covering binned-column drift of
     +/-(radius-1) cells: offsets in [-(radius-1), radius+1]."""
@@ -223,18 +277,25 @@ class PackedGeometry(NamedTuple):
 
 
 def pack_geometry(cfg: MPMStaticConfig, x, bins: ColumnBins,
-                  radius: int = 1, zb_dtype=None) -> "PackedGeometry":
+                  radius: int = 1, zb_dtype=None,
+                  ztile: bool = False) -> "PackedGeometry":
     px = _packed_gather(x, bins.pid)
     base = jnp.floor(px * cfg.inv_dx - 0.5).astype(jnp.int32)
-    zb = _z_bases(px[..., 2], base[..., 2], cfg, cfg.n_grid)
+    G = cfg.n_grid
+    if ztile:
+        T = n_ztiles(G)
+        colxy = bins.active_col // T
+        zb = _z_bases_win(px[..., 2], base[..., 2], cfg,
+                          bins.active_col % T)
+    else:
+        colxy = bins.active_col
+        zb = _z_bases(px[..., 2], base[..., 2], cfg, cfg.n_grid)
     if zb_dtype is not None:
         # bf16 mode: the z-basis is by far the largest per-substep tensor
-        # (C*K*3*G); storing it half-width halves its HBM traffic in both
-        # transfer einsums.
+        # (C*K*3*Gz); storing it half-width halves its HBM traffic in
+        # both transfer einsums.
         zb = zb.astype(zb_dtype)
-    G = cfg.n_grid
-    col = bins.active_col
-    cb = jnp.stack([col // G, col % G], -1)[:, None, :]  # (C, 1, 2)
+    cb = jnp.stack([colxy // G, colxy % G], -1)[:, None, :]  # (C, 1, 2)
     wxy, dxwy, wxdy, dpx, dpy = _xy_weights(px[..., :2], base[..., :2],
                                             cfg, cb, radius)
     return PackedGeometry(px, base, zb, wxy, dxwy, wxdy, dpx, dpy)
@@ -277,39 +338,61 @@ def _xy_weights(px_xy, base_xy, cfg, col_xy, radius: int = 1):
     return stack(0), stack(1), stack(2), stack(3), stack(4)
 
 
-def _shift_columns(bins: ColumnBins, G: int, radius: int = 1):
-    """Target column ids per shift; sentinel G*G for out-of-range or
-    inactive columns.  Returns (C, S) int32."""
+def _shift_columns(bins: ColumnBins, G: int, radius: int = 1,
+                   ztile: bool = False):
+    """Target bin ids per shift; sentinel (= number of bins) for
+    out-of-range or inactive bins.  Returns (C, S) int32.  Shifts move
+    in (x, y) only; the z tile rides along unchanged."""
+    T = n_ztiles(G) if ztile else 1
+    sentinel = G * G * T
     ac = bins.active_col
-    cx = ac // G
-    cy = ac % G
-    inactive = ac >= G * G
+    colxy = ac // T
+    tile = ac % T
+    cx = colxy // G
+    cy = colxy % G
+    inactive = ac >= sentinel
     cols = []
     for (i, j) in shift_set(radius):
         tx = cx + i
         ty = cy + j
         bad = inactive | (tx < 0) | (ty < 0) | (tx >= G) | (ty >= G)
-        cols.append(jnp.where(bad, G * G, tx * G + ty))
+        cols.append(jnp.where(bad, sentinel, (tx * G + ty) * T + tile))
     return jnp.stack(cols, 1)
 
 
-def _scatter_columns(out, bins, G, n_ch, radius: int = 1):
-    """Place (C, Gz, n_ch, S) shift results into a (G*G, Gz, n_ch) grid
+def _scatter_columns(out, bins, G, n_ch, radius: int = 1,
+                     ztile: bool = False):
+    """Place (C, W, n_ch, S) shift results into a (G*G, G, n_ch) grid
     via S row scatters of C rows each (row-serial scatter cost is
     bounded by the row cap, not the particle count).  Duplicate rows of
-    a chunked column accumulate through the scatter-add."""
-    targets = _shift_columns(bins, G, radius)
-    grid = jnp.zeros((G * G + 1, out.shape[1], n_ch), out.dtype)
+    a chunked bin accumulate through the scatter-add.
+
+    Without z tiles, W == Gz and rows are whole grid columns.  With
+    z tiles, W == _ZW windows land in a (G*G*T, _ZW) fine grid and are
+    folded into dense columns: window cell w of tile t is z = t*_ZH + w,
+    so the 2-cell tail of each tile overlaps the head of the next and
+    the fold adds them (z >= G spill from the last tile is sliced off,
+    matching the no-hit drop of the full-Gz one-hot)."""
+    targets = _shift_columns(bins, G, radius, ztile)
+    T = n_ztiles(G) if ztile else 1
+    grid = jnp.zeros((G * G * T + 1, out.shape[1], n_ch), out.dtype)
     for s in range(targets.shape[1]):
         grid = grid.at[targets[:, s]].add(out[..., s], mode="drop")
-    return grid[:G * G]
+    grid = grid[:G * G * T]
+    if not ztile:
+        return grid
+    fine = grid.reshape(G * G, T, _ZW, n_ch)
+    main = fine[:, :, :_ZH]
+    ov = jnp.pad(fine[:, :-1, _ZH:],
+                 ((0, 0), (1, 0), (0, _ZH - (_ZW - _ZH)), (0, 0)))
+    return (main + ov).reshape(G * G, T * _ZH, n_ch)[:, :G]
 
 
-@partial(jax.jit, static_argnums=(0, 4, 7, 9))
+@partial(jax.jit, static_argnums=(0, 4, 7, 9, 10))
 def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
                 K: int, bins: ColumnBins = None, c_eff=None,
                 radius: int = 1, geom: PackedGeometry = None,
-                bf16: bool = False):
+                bf16: bool = False, ztile: bool = False):
     """Column-packed P2G; exact replacement for stepping.p2g.
 
     ``stress`` and ``vertex_force`` must be pre-scaled by dt*selection;
@@ -321,7 +404,7 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     dx = cfg.dx
     dtype = state.x.dtype
     if bins is None:
-        bins = build_bins(state.x, cfg, K)
+        bins = build_bins(state.x, cfg, K, ztile=ztile)
     pid, valid = bins.pid, bins.valid
 
     stress_eff = jnp.zeros((P, 3, 3), dtype)
@@ -339,7 +422,8 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     mass = state.mass * sel
 
     if geom is None:
-        geom = pack_geometry(cfg, state.x, bins, radius=radius)
+        geom = pack_geometry(cfg, state.x, bins, radius=radius,
+                             ztile=ztile)
     # ONE fused (C, K)-row gather of all per-particle attributes —
     # TPU gathers are row-latency-bound, so 7 separate gathers of the
     # same 196k slots cost ~7x one 27-wide gather.
@@ -395,7 +479,8 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
     coeff = jnp.stack([alpha * m3, beta * m3, gamma * m3], axis=2)
     C_cap = pid.shape[0]
     coeff = coeff.reshape(C_cap, K * 3, 4 * S)
-    zmat = zb.reshape(C_cap, K * 3, G)
+    W = _ZW if ztile else G
+    zmat = zb.reshape(C_cap, K * 3, W)
 
     if bf16:
         # half-precision operands, f32 accumulation: 2x MXU throughput,
@@ -404,43 +489,58 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
                          coeff.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
     else:
-        out = jnp.einsum("cmz,cmn->czn", zmat, coeff)     # (C, Gz, 4*S)
-    out = out.reshape(C_cap, G, 4, S)
+        out = jnp.einsum("cmz,cmn->czn", zmat, coeff)     # (C, W, 4*S)
+    out = out.reshape(C_cap, W, 4, S)
 
-    grid = _scatter_columns(out, bins, G, 4, radius)     # (G*G, Gz, 4)
+    grid = _scatter_columns(out, bins, G, 4, radius, ztile)  # (G*G, Gz, 4)
     grid = grid.reshape(G * G * G, 4)
     return grid[:, :3], grid[:, 3]
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 7))
+@partial(jax.jit, static_argnums=(0, 3, 5, 7, 8))
 def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
                 bins: ColumnBins = None, radius: int = 1,
-                geom: PackedGeometry = None, bf16: bool = False):
+                geom: PackedGeometry = None, bf16: bool = False,
+                ztile: bool = False):
     """Column-packed G2P gather; returns per-particle (new_v (P,3),
     new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order."""
     G = cfg.n_grid
     P = cfg.n_particles
     dtype = state.x.dtype
     if bins is None:
-        bins = build_bins(state.x, cfg, K)
+        bins = build_bins(state.x, cfg, K, ztile=ztile)
     pid, valid = bins.pid, bins.valid
     C_cap = pid.shape[0]
 
     if geom is None:
-        geom = pack_geometry(cfg, state.x, bins, radius=radius)
+        geom = pack_geometry(cfg, state.x, bins, radius=radius,
+                             ztile=ztile)
     zb = geom.zb
     wxy, dxwy, wxdy, dpx, dpy = (geom.wxy, geom.dxwy, geom.wxdy,
                                  geom.dpx, geom.dpy)
     S = wxy.shape[-1]
 
     grid = grid_v_out.reshape(G * G, G, 3)
+    if ztile:
+        # fine view: row (colxy, tile) holds the tile's _ZW-cell window
+        # (one bulk static-index gather; ~25% duplicated cells)
+        T = n_ztiles(G)
+        warange = jnp.arange(T * _ZW, dtype=jnp.int32)
+        tz = (warange // _ZW) * _ZH + (warange % _ZW)
+        zmask = (tz < G)[None, :, None].astype(dtype)
+        fine = grid[:, jnp.clip(tz, 0, G - 1), :] * zmask
+        grid_rows = fine.reshape(G * G * T, _ZW, 3)
+        W = _ZW
+    else:
+        grid_rows = grid
+        W = G
     grid_pad = jnp.concatenate(
-        [grid, jnp.zeros((1, G, 3), dtype)], 0)          # sentinel row
-    tcols = _shift_columns(bins, G, radius)              # (C, S)
-    gcols = grid_pad[tcols]                              # (C, S, Gz, 3)
+        [grid_rows, jnp.zeros((1, W, 3), dtype)], 0)     # sentinel row
+    tcols = _shift_columns(bins, G, radius, ztile)       # (C, S)
+    gcols = grid_pad[tcols]                              # (C, S, W, 3)
 
-    zmat = zb.reshape(C_cap, K * 3, G)
-    g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, G, S * 3)
+    zmat = zb.reshape(C_cap, K * 3, W)
+    g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, W, S * 3)
     if bf16:
         acc = jnp.einsum("cmz,czn->cmn", zmat.astype(jnp.bfloat16),
                          g_all.astype(jnp.bfloat16),

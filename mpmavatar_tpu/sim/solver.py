@@ -50,6 +50,7 @@ class MPMSolver:
                  column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
                  rebin_auto: bool = False, column_pallas: bool = False,
+                 column_ztile: bool = False,
                  fused_grid=None, fused_stress=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
@@ -66,6 +67,7 @@ class MPMSolver:
         self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
         self.column_pallas = column_pallas
+        self.column_ztile = column_ztile
         self.fused_grid = fused_grid
         self.fused_stress = fused_stress
         if rebin_every > 1 or rebin_auto:
@@ -241,6 +243,7 @@ class MPMSolver:
                               column_radius=self.column_radius,
                               column_bf16=self.column_bf16,
                               column_pallas=self.column_pallas,
+                              column_ztile=self.column_ztile,
                               fused_grid=self.fused_grid,
                               fused_stress=self.fused_stress,
                               vf_incidence=self.vf_incidence, **scene)
@@ -304,6 +307,7 @@ class MPMSolver:
                                        column_radius=self.column_radius,
                                        column_bf16=self.column_bf16,
                                        column_pallas=self.column_pallas,
+                                       column_ztile=self.column_ztile,
                                        fused_grid=self.fused_grid,
                                        fused_stress=self.fused_stress,
                                        column_bins=bins,
@@ -344,7 +348,10 @@ class MPMSolver:
         if self.column_k <= 0:
             return self.column_c_cap
         from ..ops import column_transfer as _ct
-        rows = int(_ct.count_rows(state.x, self.cfg, self.column_k))
+        ztile = (self.column_ztile and self.column_radius == 1
+                 and not self.column_pallas)
+        rows = int(_ct.count_rows(state.x, self.cfg, self.column_k,
+                                  ztile))
         want = int(rows * headroom)
         for cap in self._CAP_LADDER:
             if cap >= want:

@@ -305,3 +305,56 @@ def test_count_rows_matches_build_bins():
         used = int((np.asarray(bins.active_col)
                     < cfg.n_grid * cfg.n_grid).sum())
         assert rows == used, (nx, K, rows, used)
+
+
+def test_ztile_p2g_g2p_match_scatter_z_spread():
+    """z-tiled bins (the radius-1 fast layout) vs the scatter path on a
+    scene spanning many z tiles, including particles right at tile
+    boundaries and near the z walls."""
+    cfg, state, model, stress, vforce, dt = _setup()
+    G = cfg.n_grid
+    rng = np.random.default_rng(3)
+    # respread particles through the full z range (tile span + walls)
+    x = np.asarray(state.x).copy()
+    x[:, 2] = rng.uniform(0.2 * cfg.dx, (G - 1.2) * cfg.dx, len(x))
+    # pin some exactly at tile boundaries (base_z = t*_ZH)
+    x[: ct._ZH * 2, 2] = ((np.arange(ct._ZH * 2) % (G // ct._ZH + 1))
+                          * ct._ZH + 0.51) * cfg.dx
+    state = dataclasses.replace(state, x=jnp.asarray(x))
+    new_d, _, _, stress, vforce = stepping.compute_stress(
+        cfg, state, model, dt)
+    state = dataclasses.replace(state, d=new_d)
+
+    gv_ref, gm_ref = stepping.p2g(cfg, state, model, stress, vforce, dt)
+    sel = (state.selection == 0).astype(jnp.float32)
+    sstress = dt * sel[:cfg.n_no_vertices, None, None] * stress
+    gv, gm = ct.p2g_columns(cfg, state, sstress, dt * vforce, K=16,
+                            ztile=True)
+    bins = ct.build_bins(state.x, cfg, 16, ztile=True)
+    assert int(bins.overflow) == 0
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=1e-4, atol=1e-7)
+
+    grid_v = stepping.grid_update(cfg, model, gv_ref, gm_ref, dt)
+    nv_ref, nc_ref, gr_ref = stepping.g2p_gather(cfg, state, grid_v, dt) \
+        if hasattr(stepping, "g2p_gather") else (None, None, None)
+    nv, nc, gr = ct.g2p_columns(cfg, state, grid_v, 16, ztile=True)
+    nv2, nc2, gr2 = ct.g2p_columns(cfg, state, grid_v, 16, ztile=False)
+    np.testing.assert_allclose(np.asarray(nv), np.asarray(nv2),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(nc2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ztile_count_rows_matches_build_bins():
+    cfg, state, model, stress, vforce, dt = _setup()
+    rows = int(ct.count_rows(state.x, cfg, 16, True))
+    bins = ct.build_bins(state.x, cfg, 16, c_cap=rows, ztile=True)
+    assert int(bins.overflow) == 0
+    bins_small = ct.build_bins(state.x, cfg, 16, c_cap=max(rows // 2, 1),
+                               ztile=True)
+    assert int(bins_small.overflow) > 0
