@@ -55,7 +55,11 @@ def main():
     parser.add_argument("--sand", type=int, default=0,
                         help="traditional sand particles for the mixed "
                         "demo-shape scene (e.g. 100000)")
-    parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--pallas", action="store_true", default=True,
+                        help="fused-Pallas transfer kernels (default; "
+                        "--no_pallas for the XLA column path)")
+    parser.add_argument("--no_pallas", dest="pallas",
+                        action="store_false")
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the fused grid-pipeline + stress "
                         "kernels (they are parity-exact and faster; on "
@@ -65,6 +69,7 @@ def main():
                         "substep (fastest since the two-sort bins), 2 = "
                         "amortized drift-based rebinning")
     parser.add_argument("--row_cap", type=int, default=6144)
+    parser.add_argument("--column_k", type=int, default=96)
     parser.add_argument("--no_auto_cap", action="store_true",
                         help="disable per-frame adaptive row caps")
     parser.add_argument("--render", action="store_true",
@@ -121,7 +126,8 @@ def main():
     # matmuls (better MXU shapes) and ~40% fewer scatter rows than K=48
     # (measured: p2g 6.9 -> 5.8 ms, bins 4.3 -> 3.7 ms; K=128 regresses
     # g2p).  Chunked rows keep any per-column population exact.
-    solver = MPMSolver(cfg, column_k=96, mesh_column_k=32, faces=faces,
+    solver = MPMSolver(cfg, column_k=args.column_k, mesh_column_k=32,
+                       faces=faces,
                        column_c_cap=args.row_cap,
                        column_radius=args.radius,
                        rebin_auto=args.radius > 1,

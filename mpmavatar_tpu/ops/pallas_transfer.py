@@ -53,45 +53,52 @@ def _axis_weights(f, inv_dx):
 
 
 def _tap_select(o, taps):
-    """taps[o] with o in {0,1,2} (out-of-range -> 0), branch-free."""
+    """taps[o] with float o in {0.,1.,2.} (out-of-range -> 0),
+    branch-free."""
     out = jnp.zeros_like(taps[0])
     for q in range(3):
-        out = out + (o == q).astype(taps[0].dtype) * taps[q]
+        out = out + (o == float(q)).astype(taps[0].dtype) * taps[q]
     return out
 
 
-def _geometry(px, colxy, inv_dx, G, shifts):
-    """Shared stencil geometry for one block.
+def _geometry(px_t, colxy, inv_dx, G, shifts):
+    """Shared stencil geometry for one block, slot-lane layout.
 
-    px (B, K, 3) positions, colxy (B, 2) binned column.  Returns
-    (zmat (B, 3K, G) basis-major, wxy/dxwy/wxdy/dpx/dpy each (B, K, S)).
+    px_t (B, 3, K) positions (channel rows, slot lanes), colxy (B, 2)
+    binned column.  Returns (zmat (B, 3K, G) basis-major, wxy/dxwy/wxdy/
+    dpx/dpy each (B, S, K)).  Keeping K on the lane axis is the whole
+    game: with S trailing, every per-shift elementwise op padded 9 lanes
+    to 128 (the round-1 kernel lost to XLA on exactly this).
     """
-    B, K = px.shape[0], px.shape[1]
-    g = px * inv_dx
-    base = jnp.floor(g - 0.5).astype(jnp.int32)
-    f = g - base.astype(px.dtype)
-    wx, dwx = _axis_weights(f[..., 0], inv_dx)
-    wy, dwy = _axis_weights(f[..., 1], inv_dx)
-    wz, dwz = _axis_weights(f[..., 2], inv_dx)
+    B, K = px_t.shape[0], px_t.shape[2]
+    g = px_t * inv_dx
+    base = jnp.floor(g - 0.5)
+    f = g - base                                       # (B, 3, K)
+    fx, fy, fz = f[:, 0, :], f[:, 1, :], f[:, 2, :]    # (B, K)
+    wx, dwx = _axis_weights(fx, inv_dx)
+    wy, dwy = _axis_weights(fy, inv_dx)
+    wz, dwz = _axis_weights(fz, inv_dx)
 
-    # z basis over the full lane axis: Z0 = wz, Z1 = (o - fz)*wz, Z2 = dwz
+    # z basis (B, 3K, G): rows basis-major (m = basis*K + k)
+    base_z = base[:, 2, :]                             # (B, K) float
     zline = jax.lax.broadcasted_iota(jnp.int32, (B, K, G), 2)
-    fz = f[..., 2]
-    z0 = jnp.zeros(px.shape[:2] + (G,), px.dtype)
-    z1 = jnp.zeros_like(z0)
-    z2 = jnp.zeros_like(z0)
-    for o in range(3):
-        hit = (zline == (base[..., 2] + o)[..., None]).astype(px.dtype)
-        z0 = z0 + hit * wz[o][..., None]
-        z1 = z1 + hit * ((float(o) - fz) * wz[o])[..., None]
-        z2 = z2 + hit * dwz[o][..., None]
-    zmat = jnp.concatenate([z0, z1, z2], axis=1)          # (B, 3K, G)
+    hit = [(zline == (base_z + o)[..., None].astype(jnp.int32))
+           .astype(px_t.dtype) for o in range(3)]
+    z0 = hit[0] * wz[0][..., None]
+    z1 = hit[0] * ((0.0 - fz) * wz[0])[..., None]
+    z2 = hit[0] * dwz[0][..., None]
+    for o in (1, 2):
+        z0 = z0 + hit[o] * wz[o][..., None]
+        z1 = z1 + hit[o] * ((float(o) - fz) * wz[o])[..., None]
+        z2 = z2 + hit[o] * dwz[o][..., None]
+    zmat = jnp.concatenate([z0, z1, z2], axis=1)       # (B, 3K, G)
 
-    drift = base[..., :2] - colxy[:, None, :]             # (B, K, 2)
+    driftx = base[:, 0, :] - colxy[:, 0][:, None]      # (B, K) float
+    drifty = base[:, 1, :] - colxy[:, 1][:, None]
     wxy_l, dxwy_l, wxdy_l, dpx_l, dpy_l = [], [], [], [], []
     for (i, j) in shifts:
-        ox = i - drift[..., 0]
-        oy = j - drift[..., 1]
+        ox = float(i) - driftx
+        oy = float(j) - drifty
         wvx = _tap_select(ox, wx)
         dvx = _tap_select(ox, dwx)
         wvy = _tap_select(oy, wy)
@@ -99,90 +106,88 @@ def _geometry(px, colxy, inv_dx, G, shifts):
         wxy_l.append(wvx * wvy)
         dxwy_l.append(dvx * wvy)
         wxdy_l.append(wvx * dvy)
-        dpx_l.append(ox.astype(px.dtype) - f[..., 0])
-        dpy_l.append(oy.astype(px.dtype) - f[..., 1])
-    st = lambda lst: jnp.stack(lst, axis=-1)              # (B, K, S)
+        dpx_l.append(ox - fx)
+        dpy_l.append(oy - fy)
+    st = lambda lst: jnp.stack(lst, axis=1)            # (B, S, K)
     return zmat, st(wxy_l), st(dxwy_l), st(wxdy_l), st(dpx_l), st(dpy_l)
 
 
-def _p2g_math(px, pattr, colxy, inv_dx, dx, G, shifts, bf16):
-    """(B,K,3) x (B,K,27) -> (B, G, 4S) column contributions.
+def _p2g_math(px_t, pattr_t, colxy, inv_dx, dx, G, shifts, bf16):
+    """(B,3,K) x (B,27,K) -> (B, 4S, G) column contributions.
 
-    pattr rows: [v(3), C_eff(9), mass, sel, stress(9), vforce(3),
-    is_vertex] pre-scaled exactly as ops.column_transfer.p2g_columns."""
-    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px, colxy, inv_dx, G,
+    pattr_t rows: [v(3), C_eff(9), mass, sel, stress(9), vforce(3),
+    is_vertex] pre-scaled exactly as ops.column_transfer.p2g_columns.
+    Coefficients are assembled directly in the (B, 4S, 3K) matmul
+    orientation (rows n = ch*S + s, lanes m = basis*K + k) so the
+    dot_general against the basis needs no relayout."""
+    S = len(shifts)
+    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px_t, colxy, inv_dx, G,
                                                 shifts)
-    pv = pattr[..., 0:3]
-    pC = pattr[..., 3:12]
-    pmass = pattr[..., 12]
-    psel = pattr[..., 13]
-    pstress = pattr[..., 14:23]
-    pvf = pattr[..., 23:26]
-    pisv = pattr[..., 26]
+    row = lambda i: pattr_t[:, i, :][:, None, :]          # (B, 1, K)
+    pmass = row(12)
+    psel = row(13)
+    pisv = row(26)
     not_v = 1.0 - pisv
     msel = pmass * psel
 
-    # per-channel (x, y, z, mass) coefficient blocks, basis-major rows.
-    # alpha rides Z0, beta rides Z1, gamma rides Z2 (see _z_bases).
     blocks = []
     for ch in range(3):
-        mv = (msel * pv[..., ch])[..., None]              # (B,K,1)
-        mC0 = (msel * pC[..., 3 * ch + 0])[..., None]
-        mC1 = (msel * pC[..., 3 * ch + 1])[..., None]
-        mC2 = (msel * pC[..., 3 * ch + 2])[..., None]
-        s0 = (psel * not_v * pstress[..., 3 * ch + 0])[..., None]
-        s1 = (psel * not_v * pstress[..., 3 * ch + 1])[..., None]
-        s2 = (psel * not_v * pstress[..., 3 * ch + 2])[..., None]
-        fv = (psel * pisv * pvf[..., ch])[..., None]
+        mv = msel * row(0 + ch)
+        mC0 = msel * row(3 + 3 * ch + 0)
+        mC1 = msel * row(3 + 3 * ch + 1)
+        mC2 = msel * row(3 + 3 * ch + 2)
+        s0 = psel * not_v * row(14 + 3 * ch + 0)
+        s1 = psel * not_v * row(14 + 3 * ch + 1)
+        s2 = psel * not_v * row(14 + 3 * ch + 2)
+        fv = psel * pisv * row(23 + ch)
         alpha = (mv + (mC0 * dpx + mC1 * dpy) * dx) * wxy \
-            + fv * wxy - (s0 * dxwy + s1 * wxdy)
+            + fv * wxy - (s0 * dxwy + s1 * wxdy)          # (B, S, K)
         beta = mC2 * dx * wxy
         gamma = -s2 * wxy
-        blocks.append(jnp.concatenate([alpha, beta, gamma], axis=1))
-    am = (msel[..., None] * wxy)
+        blocks.append(jnp.concatenate([alpha, beta, gamma], axis=2))
+    am = msel * wxy
     zeros = jnp.zeros_like(am)
-    blocks.append(jnp.concatenate([am, zeros, zeros], axis=1))
-    coeff = jnp.concatenate(blocks, axis=-1)              # (B, 3K, 4S)
+    blocks.append(jnp.concatenate([am, zeros, zeros], axis=2))
+    coeff = jnp.concatenate(blocks, axis=1)               # (B, 4S, 3K)
 
     if bf16:
         zmat = zmat.astype(jnp.bfloat16)
         coeff = coeff.astype(jnp.bfloat16)
-    # output (B, 4S, G): the LANE dim is G (=128, tile-aligned) — the
-    # (B, G, 4S) orientation pads 4S up to 128 lanes and blows the
-    # 16 MB scoped-vmem stack allocation of the result buffer
     return jax.lax.dot_general(
-        coeff, zmat, (((1,), (1,)), ((0,), (0,))),
+        coeff, zmat, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)               # (B, 4S, G)
 
 
-def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
-    """(B,K,3) x (B,G,3S) -> (B, K, 21) = [v(3), C(9), grad_v(9)].
+def _g2p_math(px_t, g_all, colxy, inv_dx, G, shifts, bf16):
+    """(B,3,K) x (B,3S,G) -> (B, 21, K) = [v(3), C(9), grad_v(9)] rows.
 
-    g_all channel-major: n = ch*S + s of the gathered grid columns."""
+    g_all rows are channel-major (n = ch*S + s) gathered grid columns.
+    The batched matmul contracts the G lanes of both operands, so the
+    accumulator lands as (B, 3S, 3K) with slots still on lanes and all
+    APIC reductions stay (B, S, K)-shaped."""
     S = len(shifts)
-    K = px.shape[1]
-    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px, colxy, inv_dx, G,
+    K = px_t.shape[2]
+    zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px_t, colxy, inv_dx, G,
                                                 shifts)
     if bf16:
         acc = jax.lax.dot_general(
-            zmat.astype(jnp.bfloat16), g_all.astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # (B, 3K, 3S)
+            g_all.astype(jnp.bfloat16), zmat.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (B, 3S, 3K)
     else:
         acc = jax.lax.dot_general(
-            zmat, g_all, (((2,), (1,)), ((0,), (0,))),
+            g_all, zmat, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    def block(basis, ch):                                 # (B, K, S)
-        return acc[:, basis * K:(basis + 1) * K, ch * S:(ch + 1) * S]
+    def block(basis, ch):                                 # (B, S, K)
+        return acc[:, ch * S:(ch + 1) * S, basis * K:(basis + 1) * K]
 
     outs = []
-    red = lambda w, t: jnp.sum(w * t, axis=-1)            # (B, K)
+    red = lambda w, t: jnp.sum(w * t, axis=1)             # (B, K)
     v0 = [block(0, ch) for ch in range(3)]
     v1 = [block(1, ch) for ch in range(3)]
     v2 = [block(2, ch) for ch in range(3)]
-    new_v = [red(wxy, v0[ch]) for ch in range(3)]
-    outs += new_v
+    outs += [red(wxy, v0[ch]) for ch in range(3)]         # new_v
     four = 4.0 * inv_dx
     for ch in range(3):                                   # C rows
         outs.append(four * red(wxy * dpx, v0[ch]))
@@ -192,92 +197,78 @@ def _g2p_math(px, g_all, colxy, inv_dx, G, shifts, bf16):
         outs.append(red(dxwy, v0[ch]))
         outs.append(red(wxdy, v0[ch]))
         outs.append(red(wxy, v2[ch]))
-    return jnp.stack(outs, axis=-1)                       # (B, K, 21)
+    return jnp.stack(outs, axis=1)                        # (B, 21, K)
 
 
 # ----------------------------------------------------------------------
 # pallas_call wrappers
 # ----------------------------------------------------------------------
-# XLA:TPU allocates each pallas output on the VMEM stack during AOT
-# compilation; outputs beyond ~16-32 MB fail with a vmem OOM, so the
-# fused calls are issued per column SLAB and concatenated in HBM.
-_SLAB = 256
+# Outputs are emitted ROW-FLAT 2-D ((C*rows_per_col, lanes)) from ONE
+# pallas_call gridded over column blocks — XLA:TPU stack-allocates
+# small-leading-dim pallas results in the 16 MB scoped-vmem space
+# (several coexisting slab results OOM it); the row-flat layout lands
+# in HBM (same trick as ops.pallas_grid_pipeline).
 
 
-def _p2g_pallas(px, pattr, colxy_f, inv_dx, dx, G, shifts, bf16,
+def _p2g_pallas(px_t, pattr_t, colxy_f, inv_dx, dx, G, shifts, bf16,
                 block_c, interpret):
-    C, K, _ = px.shape
+    C, _, K = px_t.shape
     S = len(shifts)
+    bc = _pick_block(C, block_c)
+    n = 4 * S
 
     def kernel(px_ref, attr_ref, col_ref, out_ref):
-        out_ref[...] = _p2g_math(px_ref[...], attr_ref[...],
-                                 col_ref[...], inv_dx, dx, G, shifts,
-                                 bf16)
+        out = _p2g_math(px_ref[...], attr_ref[...], col_ref[...],
+                        inv_dx, dx, G, shifts, bf16)      # (bc, 4S, G)
+        out_ref[...] = out.reshape(bc * n, G)
 
-    def call(px_s, attr_s, col_s):
-        c = px_s.shape[0]
-        bc = _pick_block(c, block_c)
-        return pl.pallas_call(
-            kernel,
-            grid=(c // bc,),
-            in_specs=[
-                pl.BlockSpec((bc, K, 3), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bc, K, 27), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bc, 2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bc, 4 * S, G),
-                                   lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, 4 * S, G), jnp.float32),
-            interpret=interpret,
-        )(px_s, attr_s, col_s)
-
-    slab = max(_SLAB, block_c)
-    if C <= slab:
-        return call(px, pattr, colxy_f)
-    outs = [call(px[s:s + slab], pattr[s:s + slab], colxy_f[s:s + slab])
-            for s in range(0, C, slab)]
-    return jnp.concatenate(outs, axis=0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(C // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, 3, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, 27, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc * n, G), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * n, G), jnp.float32),
+        interpret=interpret,
+    )(px_t, pattr_t, colxy_f)
+    return out.reshape(C, n, G)
 
 
-def _g2p_pallas(px, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
+def _g2p_pallas(px_t, g_all, colxy_f, inv_dx, G, shifts, bf16, block_c,
                 interpret):
-    C, K, _ = px.shape
+    C, _, K = px_t.shape
     S = len(shifts)
+    bc = _pick_block(C, block_c)
 
     def kernel(px_ref, g_ref, col_ref, out_ref):
-        out_ref[...] = _g2p_math(px_ref[...], g_ref[...], col_ref[...],
-                                 inv_dx, G, shifts, bf16)
+        out = _g2p_math(px_ref[...], g_ref[...], col_ref[...],
+                        inv_dx, G, shifts, bf16)          # (bc, 21, K)
+        out_ref[...] = out.reshape(bc * 21, K)
 
-    def call(px_s, g_s, col_s):
-        c = px_s.shape[0]
-        bc = _pick_block(c, block_c)
-        return pl.pallas_call(
-            kernel,
-            grid=(c // bc,),
-            in_specs=[
-                pl.BlockSpec((bc, K, 3), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bc, G, 3 * S), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bc, 2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bc, K, 21), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, K, 21), jnp.float32),
-            interpret=interpret,
-        )(px_s, g_s, col_s)
-
-    slab = max(_SLAB, block_c)
-    if C <= slab:
-        return call(px, g_all, colxy_f)
-    outs = [call(px[s:s + slab], g_all[s:s + slab], colxy_f[s:s + slab])
-            for s in range(0, C, slab)]
-    return jnp.concatenate(outs, axis=0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(C // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, 3, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, 3 * S, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc * 21, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * 21, K), jnp.float32),
+        interpret=interpret,
+    )(px_t, g_all, colxy_f)
+    return out.reshape(C, 21, K)
 
 
 # ----------------------------------------------------------------------
@@ -386,14 +377,16 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     attr = jnp.concatenate(
         [state.v, c_use.reshape(P, 9), mass[:, None], sel[:, None],
          stress_eff.reshape(P, 9), vforce, is_vertex[:, None]], axis=1)
-    px = _packed_gather(state.x, pid, fill=-1e6)  # sentinel: zero weights
-    pattr = _packed_gather(attr, pid)
+    # slot-lane kernel layout: channels on rows, packed slots on lanes
+    px_t = _packed_gather(state.x, pid,
+                          fill=-1e6).transpose(0, 2, 1)   # (C, 3, K)
+    pattr_t = _packed_gather(attr, pid).transpose(0, 2, 1)  # (C, 27, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
     shifts = tuple(shift_set(radius))
-    out = _p2g_fused(px, pattr, colxy_f, float(cfg.inv_dx), float(dx), G,
-                     shifts, bf16, block_c, interpret)
+    out = _p2g_fused(px_t, pattr_t, colxy_f, float(cfg.inv_dx),
+                     float(dx), G, shifts, bf16, block_c, interpret)
     S = len(shifts)
     # (C, 4S, G) lane-aligned kernel layout -> (C, G, 4, S) scatter layout
     out = out.reshape(pid.shape[0], 4, S, G).transpose(0, 3, 1, 2)
@@ -421,15 +414,17 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     grid_pad = jnp.concatenate([grid, jnp.zeros((1, G, 3), dtype)], 0)
     tcols = _shift_columns(bins, G, radius)               # (C, S)
     gcols = grid_pad[tcols]                               # (C, S, Gz, 3)
-    # channel-major lanes: n = ch*S + s
-    g_all = gcols.transpose(0, 2, 3, 1).reshape(C_cap, G, 3 * S)
+    # channel-major rows (n = ch*S + s), grid z on lanes
+    g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, G)
 
-    px = _packed_gather(state.x, pid, fill=-1e6)
+    px_t = _packed_gather(state.x, pid,
+                          fill=-1e6).transpose(0, 2, 1)   # (C, 3, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
-    packed = _g2p_fused(px, g_all, colxy_f, float(cfg.inv_dx), G, shifts,
-                        bf16, block_c, interpret)         # (C, K, 21)
+    packed = _g2p_fused(px_t, g_all, colxy_f, float(cfg.inv_dx), G,
+                        shifts, bf16, block_c,
+                        interpret).transpose(0, 2, 1)     # (C, K, 21)
 
     cidx = bins.cidx_of_p
     rank = jnp.clip(bins.rank_of_p, 0, K - 1)
