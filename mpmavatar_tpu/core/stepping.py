@@ -295,7 +295,7 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
 
 def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
                          mesh_x, mesh_v, column_k: int = 0,
-                         c_cap=None):
+                         c_cap=None, use_pallas: bool = False):
     """Rasterize face-centroid velocity + normal to the grid — the splat
     half of apply_mesh_collider.  Returns (acc (G^3, 6), grid_w (G^3,),
     overflow ())."""
@@ -313,7 +313,11 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
 
     vals = jnp.concatenate([fvel, fnorm], axis=-1)  # scatter both at once
     G = cfg.n_grid
-    if column_k > 0:
+    if column_k > 0 and use_pallas:
+        from ..ops import pallas_transfer as _pt
+        acc, grid_w, overflow = _pt.splat_columns_fused(
+            cfg, centroid, vals, column_k, c_cap=c_cap)
+    elif column_k > 0:
         from ..ops import column_transfer as _ct
         acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,
                                                   column_k, c_cap=c_cap)
@@ -731,7 +735,8 @@ def p2g2p(cfg: MPMStaticConfig,
         if has_mesh:
             acc, gw, mesh_of = mesh_collider_fields(
                 cfg, colliders.mesh_colliders[0], mesh_x, mesh_v,
-                column_k=mesh_column_k, c_cap=mesh_c_cap)
+                column_k=mesh_column_k, c_cap=mesh_c_cap,
+                use_pallas=column_pallas)
             overflow = overflow + mesh_of
             mesh_fric = colliders.mesh_colliders[0].friction
         else:

@@ -435,3 +435,111 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     new_c = vals[:, 3:12].reshape(P, 3, 3)
     grad_v = vals[:, 12:21].reshape(P, 3, 3)
     return new_v, new_c, grad_v
+
+
+# ----------------------------------------------------------------------
+# fused splat (mesh-collider / generic w-weighted rasterization)
+# ----------------------------------------------------------------------
+def _splat_math(px_t, vals_t, colxy, inv_dx, G, shifts):
+    """(B,3,K) x (B,CH,K) -> (B, CH*S, G) column contributions.
+
+    Only the Z0 = w(z) basis row is needed (plain w-weighted splat, no
+    APIC/force terms): coeff rows are (ch, s)-major, matching the
+    (C, G, CH, S) scatter layout after one reshape."""
+    S = len(shifts)
+    CH = vals_t.shape[1]
+    B, K = px_t.shape[0], px_t.shape[2]
+    g = px_t * inv_dx
+    base = jnp.floor(g - 0.5)
+    f = g - base
+    fx, fy, fz = f[:, 0, :], f[:, 1, :], f[:, 2, :]
+    wx, _ = _axis_weights(fx, inv_dx)
+    wy, _ = _axis_weights(fy, inv_dx)
+    wz, _ = _axis_weights(fz, inv_dx)
+
+    base_z = base[:, 2, :]
+    zline = jax.lax.broadcasted_iota(jnp.int32, (B, K, G), 2)
+    z0 = jnp.zeros((B, K, G), px_t.dtype)
+    for o in range(3):
+        hit = (zline == (base_z + o)[..., None].astype(jnp.int32))
+        z0 = z0 + hit.astype(px_t.dtype) * wz[o][..., None]
+
+    driftx = base[:, 0, :] - colxy[:, 0][:, None]
+    drifty = base[:, 1, :] - colxy[:, 1][:, None]
+    wxy_l = []
+    for (i, j) in shifts:
+        wxy_l.append(_tap_select(float(i) - driftx, wx)
+                     * _tap_select(float(j) - drifty, wy))
+    wxy = jnp.stack(wxy_l, axis=1)                        # (B, S, K)
+
+    coeff = jnp.concatenate(
+        [vals_t[:, ch, :][:, None, :] * wxy for ch in range(CH)],
+        axis=1)                                           # (B, CH*S, K)
+    return jax.lax.dot_general(
+        coeff, z0, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (B, CH*S, G)
+
+
+def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
+                        bounds_check: bool = True, c_cap=None,
+                        block_c: int = 8, interpret=None):
+    """Fused-Pallas sibling of column_transfer.splat_columns (same
+    contract): returns (grid_vals (G^3, CH), grid_w (G^3,), overflow).
+
+    Forward-only (the mesh-collider splat consumes mesh_x/mesh_v which
+    are rollout inputs, not trained parameters) — grid BCs stop
+    gradients at the grid in the reference semantics too."""
+    from .column_transfer import build_bins, default_col_cap
+    if interpret is None:
+        interpret = _interpret_default()
+    G = cfg.n_grid
+    Cch = values.shape[-1]
+    bins = build_bins(points, cfg, K, c_cap=c_cap)
+    pid = bins.pid
+    C_cap = pid.shape[0]
+    block_c = _pick_block(C_cap, block_c)
+
+    ok = bins.valid.astype(points.dtype)
+    if bounds_check:
+        pbase = jnp.floor(_packed_gather(points, pid) * cfg.inv_dx
+                          - 0.5).astype(jnp.int32)
+        inb = jnp.all((pbase >= 0) & (pbase < G - 3), axis=-1)
+        ok = ok * inb.astype(points.dtype)
+
+    vals1 = jnp.concatenate(
+        [values, jnp.ones(values.shape[:-1] + (1,), values.dtype)], -1)
+    px_t = _packed_gather(points, pid, fill=-1e6).transpose(0, 2, 1)
+    vals_t = (_packed_gather(vals1, pid) * ok[..., None]
+              ).transpose(0, 2, 1)                        # (C, CH+1, K)
+    col = bins.active_col
+    colxy_f = jnp.stack([col // G, col % G], -1).astype(points.dtype)
+
+    CH = Cch + 1
+    S = 9
+    shifts = tuple(shift_set(1))
+
+    def kernel(px_ref, v_ref, col_ref, out_ref):
+        out = _splat_math(px_ref[...], v_ref[...], col_ref[...],
+                          float(cfg.inv_dx), G, shifts)
+        out_ref[...] = out.reshape(block_c * CH * S, G)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(C_cap // block_c,),
+        in_specs=[
+            pl.BlockSpec((block_c, 3, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, CH, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_c * CH * S, G), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_cap * CH * S, G), jnp.float32),
+        interpret=interpret,
+    )(px_t, vals_t, colxy_f)
+    out = out.reshape(C_cap, CH, S, G).transpose(0, 3, 1, 2)
+    grid = _scatter_columns(out, bins, G, CH)
+    grid = grid.reshape(G * G * G, CH)
+    return grid[:, :Cch], grid[:, Cch], bins.overflow
