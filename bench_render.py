@@ -9,7 +9,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(quiet=False, iters=10):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -44,20 +44,25 @@ def main():
         out = rasterize(xyz, colors, opac, cov3d, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=512,
                         work_cap=8192)
-        return out["render"]
+        return out["render"], out["work_overflow"], out["big_overflow"]
 
     rj = jax.jit(render)
-    img = rj(xyz)
+    img, wof, bof = rj(xyz)
+    assert int(wof) == 0 and int(bof) == 0, (
+        f"rasterizer caps overflowed (work {int(wof)}, big {int(bof)}) "
+        "- the measured image would be wrong; raise work_cap/pools")
     s = float(img.sum())
     t0 = time.perf_counter()
-    iters = 10
     for _ in range(iters):
-        img = rj(xyz)
+        img, _, _ = rj(xyz)
     s = float(img.sum())
     fps = iters / (time.perf_counter() - t0)
-    print(json.dumps({"metric": "splat_render_fps_1080p_50k",
-                      "value": round(fps, 2), "unit": "frames/s",
-                      "vs_baseline": round(fps / 30.0, 3)}))
+    result = {"metric": "splat_render_fps_1080p_50k",
+              "value": round(fps, 2), "unit": "frames/s",
+              "vs_baseline": round(fps / 30.0, 3)}
+    if not quiet:
+        print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
