@@ -248,3 +248,67 @@ def test_sharded_mixed_sand_cloth_with_bcs_matches_single_device():
                                np.asarray(s_ref.x[E:E + T]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out.Ft)[:T],
                                np.asarray(s_ref.F_trial), atol=3e-4)
+
+
+def test_sharded_column_fast_path_matches_scatter():
+    """The column-packed MXU transfer under shard_map (column_k > 0)
+    must match the sharded scatter path on the same mixed scene
+    (VERDICT r1 item 7: fast path multi-chip)."""
+    from mpmavatar_tpu.parallel import make_sharded_frame
+    from mpmavatar_tpu.sim import MPMSolver
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices[:8], ("dp",))
+
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.4)
+    rng = np.random.default_rng(1)
+    sand = (rng.random((64, 3)).astype(np.float32) * 0.15
+            + np.array([0.9, 1.3, 0.9], np.float32))
+    E, T, V = len(faces), len(sand), len(verts)
+    cfg = types.MPMStaticConfig(n_elements=E, n_traditional=T,
+                                n_vertices=V, n_grid=32, grid_lim=2.0,
+                                material=2)
+    d, r_inv, evol, vvol = types.cloth_geometry(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces))
+    x = jnp.concatenate([jnp.asarray(verts, jnp.float32)[faces].mean(1),
+                         jnp.asarray(sand),
+                         jnp.asarray(verts, jnp.float32)], 0)
+    vol = jnp.concatenate([evol, jnp.full((T,), 1e-6, jnp.float32),
+                           vvol], 0)
+    state = types.make_state(cfg, x, faces=faces, d=d, R_inv=r_inv,
+                             vol=vol)
+    model = types.make_model(cfg.n_particles, E=300.0, nu=0.3)
+
+    solver = MPMSolver(cfg)
+    solver.add_surface_collider([0.0, 0.95, 0.0], [0.0, 1.0, 0.0],
+                                surface="slip")
+    solver.add_bounding_box()
+
+    from mpmavatar_tpu.parallel import (UniformModel,
+                                        make_sharded_cloth_state,
+                                        shard_state)
+    st = shard_state(mesh, make_sharded_cloth_state(cfg, state, 8))
+    um = UniformModel(
+        mu=jnp.float32(model.mu[0]), lam=jnp.float32(model.lam[0]),
+        gamma=jnp.float32(500.0), kappa=jnp.float32(500.0),
+        friction_coeff=model.friction_coeff,
+        gravity=model.gravity, mesh_friction=jnp.float32(0.5),
+        alpha=model.alpha)
+    n_sub = 6
+    ref_frame = make_sharded_frame(cfg, mesh, num_substeps=n_sub,
+                                   dt=1e-4,
+                                   grid_post=solver.colliders.grid_post,
+                                   with_mesh=False)
+    ref = ref_frame(st, um)
+    fast_frame = make_sharded_frame(
+        cfg, mesh, num_substeps=n_sub, dt=1e-4,
+        grid_post=solver.colliders.grid_post, with_mesh=False,
+        column_k=32, column_c_cap=256, return_overflow=True)
+    out, of = fast_frame(st, um)
+    assert int(of[0]) == 0, "column caps overflowed in the parity scene"
+    np.testing.assert_allclose(np.asarray(out.xv), np.asarray(ref.xv),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.xt), np.asarray(ref.xt),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.xe), np.asarray(ref.xe),
+                               atol=1e-5)
