@@ -700,10 +700,11 @@ def p2g2p(cfg: MPMStaticConfig,
         if column_pallas:
             from ..ops import pallas_transfer as _pt
             geom = None
+            px_t = _pt.pack_positions(state, bins)
             grid_v_in, grid_m = _pt.p2g_columns_fused(
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-                radius=column_radius, bf16=column_bf16)
+                radius=column_radius, bf16=column_bf16, px_t=px_t)
         else:
             geom = _ct.pack_geometry(
                 cfg, state.x, bins, radius=column_radius,
@@ -775,7 +776,7 @@ def p2g2p(cfg: MPMStaticConfig,
         gathered = _pt.g2p_columns_fused(cfg, state, grid_v_out,
                                          column_k, bins=bins,
                                          radius=column_radius,
-                                         bf16=column_bf16)
+                                         bf16=column_bf16, px_t=px_t)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,

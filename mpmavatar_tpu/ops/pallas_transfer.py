@@ -343,10 +343,17 @@ def _pick_block(c_cap: int, block_c: int) -> int:
     return max(block_c, 1)
 
 
+def pack_positions(state, bins: ColumnBins):
+    """(C, 3, K) slot-lane packed positions — shareable between the
+    fused P2G and G2P calls of one substep (same bins, same x)."""
+    return _packed_gather(state.x, bins.pid,
+                          fill=-1e6).transpose(0, 2, 1)
+
+
 def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
-                      block_c: int = 8, interpret=None):
+                      block_c: int = 8, interpret=None, px_t=None):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
@@ -378,8 +385,8 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
         [state.v, c_use.reshape(P, 9), mass[:, None], sel[:, None],
          stress_eff.reshape(P, 9), vforce, is_vertex[:, None]], axis=1)
     # slot-lane kernel layout: channels on rows, packed slots on lanes
-    px_t = _packed_gather(state.x, pid,
-                          fill=-1e6).transpose(0, 2, 1)   # (C, 3, K)
+    if px_t is None:
+        px_t = pack_positions(state, bins)                # (C, 3, K)
     pattr_t = _packed_gather(attr, pid).transpose(0, 2, 1)  # (C, 27, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
@@ -397,7 +404,7 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
 def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
                       bins: ColumnBins, radius: int = 1,
                       bf16: bool = False, block_c: int = 8,
-                      interpret=None):
+                      interpret=None, px_t=None):
     """Fused-Pallas g2p_columns: returns (new_v, new_C, grad_v) in
     original particle order (same contract as column_transfer)."""
     if interpret is None:
@@ -417,8 +424,8 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     # channel-major rows (n = ch*S + s), grid z on lanes
     g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, G)
 
-    px_t = _packed_gather(state.x, pid,
-                          fill=-1e6).transpose(0, 2, 1)   # (C, 3, K)
+    if px_t is None:
+        px_t = pack_positions(state, bins)                # (C, 3, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 

@@ -1,5 +1,6 @@
 """Column-packed MXU transfer path vs the reference scatter/gather path."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -246,6 +247,7 @@ def test_splat_columns_generic_channels():
                                    atol=5e-6)
 
 
+@pytest.mark.slow
 def test_bf16_transfer_mode():
     """column_bf16: half-precision einsum operands with f32 accumulation.
     Must stay within bf16 rounding of the f32 path and actually engage."""

@@ -1,6 +1,7 @@
 """Demo pose playback: LBS re-posing + animated collider in the sim loop
 (run_demo.py:176-214,514-548 parity)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def test_playback_roundtrip_and_motion():
         np.asarray((pb["verts"][1] - pb["verts"][0]) * 25.0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_animated_collider_drives_cloth():
     """A moving body under the cloth must change the outcome vs a static
     one (the round-1 demo simulated against a frozen collider)."""

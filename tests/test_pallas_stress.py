@@ -1,5 +1,6 @@
 """Fused plane-form stress kernel vs the (E,3,3) reference path."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,7 @@ def test_stress_fused_selection_mask():
                                atol=3e-5)
 
 
+@pytest.mark.slow
 def test_stress_fused_gradients():
     cfg, state, model = _scene()
 

@@ -30,7 +30,8 @@ def _scene(nx=12, grid=64, K=16, cap=512):
     return cfg, state, model, sstress, svf, bins, K
 
 
-@pytest.mark.parametrize("radius", [1, 2])
+@pytest.mark.parametrize(
+    "radius", [1, pytest.param(2, marks=pytest.mark.slow)])
 def test_p2g_fused_matches_xla(radius):
     cfg, state, model, sstress, svf, bins, K = _scene()
     gv_ref, gm_ref = ct.p2g_columns(cfg, state, sstress, svf, K,
@@ -43,7 +44,8 @@ def test_p2g_fused_matches_xla(radius):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("radius", [1, 2])
+@pytest.mark.parametrize(
+    "radius", [1, pytest.param(2, marks=pytest.mark.slow)])
 def test_g2p_fused_matches_xla(radius):
     cfg, state, model, sstress, svf, bins, K = _scene()
     gv, gm = ct.p2g_columns(cfg, state, sstress, svf, K, bins=bins,
