@@ -360,6 +360,48 @@ class MPMSolver:
         self.column_c_cap = self._CAP_LADDER[-1]
         return self.column_c_cap
 
+    def calibrate_caps(self, xs=None, mesh_xs=None,
+                       headroom: float = 1.35, sample_every: int = 4):
+        """One-time static cap sizing from KNOWN trajectories.
+
+        Training/demo drivers know every frame's particle positions
+        (tracked verts) and collider mesh up front; probing the exact
+        pack-row maxima over the trajectory picks caps that (a) never
+        overflow and (b) never force a mid-run recompile the way
+        per-frame adaptation would inside jitted grad rollouts.
+        ``xs``: iterable of (P, 3) particle positions (sim space);
+        ``mesh_xs``: iterable of (Vb, 3) collider vertex frames (the
+        registered mesh colliders' faces are used for centroids)."""
+        from ..ops import column_transfer as _ct
+        if xs is not None and self.column_k > 0:
+            rows = 0
+            xs = list(xs)
+            for x in xs[::max(1, sample_every)]:
+                rows = max(rows, int(_ct.count_rows(
+                    jnp.asarray(x), self.cfg, self.column_k)))
+            want = int(rows * headroom)
+            for cap in self._CAP_LADDER:
+                if cap >= want:
+                    self.column_c_cap = cap
+                    break
+            else:
+                self.column_c_cap = self._CAP_LADDER[-1]
+        if (mesh_xs is not None and self.mesh_column_k > 0
+                and self.colliders.mesh_colliders):
+            rows = 0
+            mesh_xs = list(mesh_xs)
+            for mx in mesh_xs[::max(1, sample_every)]:
+                mx = jnp.asarray(mx)
+                for mc in self.colliders.mesh_colliders:
+                    centroid = mx[mc.faces].mean(axis=1)
+                    rows = max(rows, int(_ct.count_rows(
+                        centroid, self.cfg, self.mesh_column_k)))
+            n_faces = max(int(mc.faces.shape[0])
+                          for mc in self.colliders.mesh_colliders)
+            self.mesh_c_cap = min(
+                -(-int(rows * headroom) // 256) * 256, n_faces)
+        return self.column_c_cap, self.mesh_c_cap
+
     def adapt_mesh_cap(self, mesh_x, headroom: float = 1.15,
                        quantum: int = 256):
         """Adaptive row cap for the mesh-collider splat: probe the pack

@@ -149,6 +149,12 @@ def build_demo_sim(cloth_verts0, cloth_faces, sand_xyz, sand_vol,
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(collider_faces, friction=mesh_friction)
     solver.add_particle_mover()
+    # size the mesh-splat cap for THIS body at THIS grid (the fixed
+    # 1024-row default overflows real bodies at the 250^3 demo grid);
+    # callers animating the collider should re-calibrate with the pose
+    # sequence (scripts/run_demo.py does)
+    solver.calibrate_caps(mesh_xs=[np.asarray(tf.wld2sim(
+        jnp.asarray(collider_verts)))], sample_every=1)
     return cfg, state, model, solver
 
 

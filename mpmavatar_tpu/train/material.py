@@ -118,6 +118,19 @@ class MaterialTrainer:
         self.solver.add_mesh_collider(self.smplx_faces,
                                       friction=cfg.mesh_friction_coeff)
         self.solver.add_particle_mover()
+        # size the static transfer caps ONCE from the full known
+        # trajectory: no overflow at any frame, no mid-training recompiles
+        # (per-frame adaptation would re-jit the grad rollout)
+        if cfg.column_k > 0:
+            tv = self.train_verts
+            cents = tv[:, self.faces].mean(axis=2)
+            xs = [np.asarray(self.tf.wld2sim(jnp.asarray(
+                np.concatenate([cents[i], tv[i]], 0))))
+                for i in range(0, len(tv), 4)]
+            mesh_xs = [np.asarray(self.tf.wld2sim(jnp.asarray(v)))
+                       for v in self.smplx_verts[::4]]
+            self.solver.calibrate_caps(xs=xs, mesh_xs=mesh_xs,
+                                       sample_every=1)
 
         # per-frame kinematics in sim units (train_material_params.py:616-626)
         fps = cfg.fps

@@ -96,6 +96,14 @@ def main():
         cloth_v, cloth_f, sand, sand_vol, body_v, body_f, tf,
         grid_size=args.grid_size, num_joint_v=args.num_joint_v,
         num_joint_f=args.num_joint_f)
+    if playback is not None:
+        # size the mesh-splat cap over the whole pose sequence so the
+        # animated collider never trips the overflow check mid-run
+        seq = [np.asarray(tf.wld2sim(jnp.asarray(np.concatenate(
+            [np.asarray(playback["smplx"][k])]
+            + ([body_v[n_body:]] if n_chair else []), 0))))
+            for k in range(0, playback["smplx"].shape[0], 8)]
+        solver.calibrate_caps(mesh_xs=seq, sample_every=1)
     # gradual sand release after the avatar is seated (run_demo.py:524)
     release_t0 = args.sand_release_frame / 25.0
     solver.release_particles_sequentially(
