@@ -49,7 +49,7 @@ class MPMSolver:
                  column_c_cap=None, mesh_c_cap=None,
                  column_radius: int = 1,
                  rebin_every: int = 1, column_bf16: bool = False,
-                 rebin_auto: bool = False, column_pallas: bool = False,
+                 rebin_auto: bool = False, column_pallas=None,
                  column_ztile: bool = False,
                  fused_grid=None, fused_stress=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
@@ -66,6 +66,10 @@ class MPMSolver:
         self.rebin_every = rebin_every
         self.rebin_auto = rebin_auto
         self.column_bf16 = column_bf16
+        if column_pallas is None:
+            # fused Mosaic kernels are the fast path on real TPUs; in
+            # interpret mode (CPU tests) they are much slower than XLA
+            column_pallas = jax.default_backend() == "tpu"
         self.column_pallas = column_pallas
         self.column_ztile = column_ztile
         self.fused_grid = fused_grid

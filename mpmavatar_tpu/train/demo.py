@@ -111,8 +111,8 @@ def build_demo_sim(cloth_verts0, cloth_faces, sand_xyz, sand_vol,
                    grid_size=250, num_joint_v=0, num_joint_f=0,
                    mesh_friction=0.5, friction_angle=40.0,
                    density=1.0, E=200.0, nu=0.3, gamma=500.0, kappa=500.0,
-                   column_k=64, mesh_column_k=32, column_c_cap=8192,
-                   column_radius=2, rebin_auto=True):
+                   column_k=96, mesh_column_k=32, column_c_cap=8192,
+                   column_radius=1, rebin_auto=False):
     """Mixed cloth + sand simulation setup (run_demo.py:219-379):
     elements/vertices = garment, traditional = sand (Drucker-Prager),
     collider = SMPL-X + tracked human + chair, sticky floor at y=0.1."""

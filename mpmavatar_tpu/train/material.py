@@ -49,12 +49,15 @@ class MaterialTrainerConfig:
     lr_H: float = 1e-2
     iterations: int = 200
     thickness: float = 1e-5
-    # TPU transfer-path knobs (0 = slow reference-semantics scatter path)
-    column_k: int = 48
+    # TPU transfer-path knobs (0 = slow reference-semantics scatter
+    # path).  K=96 / radius-1 exact rebin / fused Mosaic kernels is the
+    # measured-fastest configuration (ROUND_NOTES.md trajectory table);
+    # caps are calibrated from the trajectory at setup.
+    column_k: int = 96
     mesh_column_k: int = 32
     column_c_cap: int = 4096
-    column_radius: int = 2
-    rebin_auto: bool = True
+    column_radius: int = 1
+    rebin_auto: bool = False
 
 
 class MaterialTrainer:

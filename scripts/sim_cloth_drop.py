@@ -24,9 +24,10 @@ def main():
     parser.add_argument("--frames", type=int, default=25)
     parser.add_argument("--substeps", type=int, default=400)
     parser.add_argument("--body_obj", default=None)
-    parser.add_argument("--column_k", type=int, default=48)
-    parser.add_argument("--pallas", action="store_true",
-                        help="fused-Pallas transfer kernels")
+    parser.add_argument("--column_k", type=int, default=96)
+    parser.add_argument("--pallas", action="store_true", default=None,
+                        help="fused-Pallas transfer kernels (default: "
+                        "auto — on for real TPUs)")
     parser.add_argument("--mesh_column_k", type=int, default=64,
                         help="collider-splat slots per column; must cover "
                         "the max collider faces per (x,y) cell — the frame "
