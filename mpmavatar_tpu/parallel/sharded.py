@@ -187,7 +187,8 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
                          um: UniformModel, dt, mesh_x, mesh_v,
                          joint_verts_v, num_joint_v: int, n_vertices: int,
                          axis: str, grid_post=(), time=0.0,
-                         column_k: int = 0, column_c_cap=None):
+                         column_k: int = 0, column_c_cap=None,
+                         joint_faces_v=None, num_joint_f: int = 0):
     """Device-local body of one substep; runs under shard_map.
 
     Grid collectives are slab-decomposed: P2G partials are
@@ -215,12 +216,17 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
 
     ones_e = jnp.ones((e_loc,), st.xe.dtype)
 
+    def per_e(leaf):
+        # cloth material leaves may be scalars (reference semantics:
+        # uniform trained D/E/H) or per-ELEMENT arrays sharded like xe
+        return leaf if jnp.ndim(leaf) > 0 else leaf * ones_e
+
     # ---- stress (local elements) + vertex forces (psum) ---------------
     d_new = constitutive.anisotropy_return_mapping(
-        st.d, um.gamma * ones_e, um.kappa * ones_e, um.friction_coeff)
+        st.d, per_e(um.gamma), per_e(um.kappa), um.friction_coeff)
     stress_e, f1, f2, f3 = constitutive.anisotropic_stress(
-        st.R_inv, d_new, st.vol_e, um.mu * ones_e, um.lam * ones_e,
-        um.gamma * ones_e, um.kappa * ones_e)
+        st.R_inv, d_new, st.vol_e, per_e(um.mu), per_e(um.lam),
+        per_e(um.gamma), per_e(um.kappa))
     vforce = jnp.zeros((n_vertices, 3), st.xe.dtype)
     vforce = vforce.at[st.faces[:, 0]].add(f1, mode="drop")
     vforce = vforce.at[st.faces[:, 1]].add(f2, mode="drop")
@@ -248,6 +254,10 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
         return stepping._scatter_grid(vals, mass_w, gidx, G3)
 
     # ---- traditional (sand) block stress: DP return map ---------------
+    if t_loc > 0 and jnp.ndim(um.mu) > 0:
+        raise ValueError("per-element cloth materials are not supported "
+                         "together with a traditional block (the sand "
+                         "DP map needs scalar mu/lam)")
     if t_loc > 0:
         from ..core.linalg import svd3
         ones_t = jnp.ones((t_loc,), st.xt.dtype)
@@ -335,16 +345,29 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
                                grid_v_out)
 
     # ---- particle mover (joint pinning) on the slab -------------------
-    if joint_verts_v is not None and num_joint_v > 0:
-        xv_all = jax.lax.all_gather(st.xv, axis, tiled=True)
-        pts = xv_all[:num_joint_v]
+    has_mover = ((joint_verts_v is not None and num_joint_v > 0)
+                 or (joint_faces_v is not None and num_joint_f > 0))
+    if has_mover:
+        pts_l, vel_l = [], []
+        if joint_verts_v is not None and num_joint_v > 0:
+            xv_all = jax.lax.all_gather(st.xv, axis, tiled=True)
+            pts_l.append(xv_all[:num_joint_v])
+            vel_l.append(joint_verts_v)
+        if joint_faces_v is not None and num_joint_f > 0:
+            # joint ELEMENTS (first num_joint_f globally) pinned at their
+            # centroids (core.stepping.mover_fields face class)
+            xe_all = jax.lax.all_gather(st.xe, axis, tiled=True)
+            pts_l.append(xe_all[:num_joint_f])
+            vel_l.append(joint_faces_v)
+        pts = jnp.concatenate(pts_l, 0)
+        vel = jnp.concatenate(vel_l, 0)
         base, fx, w, _ = stepping.bspline(pts, inv_dx)
         w27 = stepping._stencil_products(w)
         gidx = stepping._flat_indices(base, G)
         inb = jnp.all((base >= 0) & (base < G - 3), axis=-1)
         w27 = w27 * inb[:, None].astype(w27.dtype)
         mv, mw = stepping._scatter_grid(
-            w27[..., None] * joint_verts_v[:, None, :], w27, gidx, G3)
+            w27[..., None] * vel[:, None, :], w27, gidx, G3)
         mv = jax.lax.psum_scatter(mv, axis, scatter_dimension=0,
                                   tiled=True)
         mw = jax.lax.psum_scatter(mw, axis, scatter_dimension=0,
@@ -478,7 +501,8 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
                        grid_post=(), with_mesh: bool = True,
                        with_joints: bool = False,
                        column_k: int = 0, column_c_cap=None,
-                       return_overflow: bool = False):
+                       return_overflow: bool = False,
+                       num_joint_f: int = 0, model_spec=None):
     """Jitted multi-chip forward frame over mixed cloth+sand scenes with
     grid BCs — the SPMD counterpart of MPMSolver.frame.
 
@@ -488,12 +512,15 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
 
     def frame(st, um, *rest):
         i = 0
-        mesh_x = mesh_v = joint_verts_v = None
+        mesh_x = mesh_v = joint_verts_v = joint_faces_v = None
         if with_mesh:
             mesh_x, mesh_v = rest[i], rest[i + 1]
             i += 2
         if with_joints:
             joint_verts_v = rest[i]
+            i += 1
+            if num_joint_f > 0:
+                joint_faces_v = rest[i]
         nv = st.xv.shape[0] * device_mesh.shape[axis]
 
         def body(carry, s):
@@ -503,7 +530,8 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
             stc, st_of = _local_cloth_substep(
                 cfg, stc, um, dt, mx, mesh_v, joint_verts_v,
                 num_joint_v, nv, axis, grid_post=grid_post, time=t,
-                column_k=column_k, column_c_cap=column_c_cap)
+                column_k=column_k, column_c_cap=column_c_cap,
+                joint_faces_v=joint_faces_v, num_joint_f=num_joint_f)
             return (stc, t + dt, jnp.maximum(of, st_of)), None
 
         (st, _, of), _ = jax.lax.scan(
@@ -514,11 +542,17 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
             return st, jax.lax.pmax(of, axis)[None]
         return st
 
-    in_specs = [P(axis), P()]
+    # model_spec: pass a UniformModel of PartitionSpecs to shard
+    # per-element material leaves like the particles (P(axis)); the
+    # default replicates everything (reference semantics: uniform
+    # trained scalars)
+    in_specs = [P(axis), model_spec if model_spec is not None else P()]
     if with_mesh:
         in_specs += [P(axis), P(axis)]
     if with_joints:
         in_specs += [P()]
+        if num_joint_f > 0:
+            in_specs += [P()]
     sharded = jax.shard_map(frame, mesh=device_mesh,
                             in_specs=tuple(in_specs),
                             out_specs=P(axis), check_vma=False)
