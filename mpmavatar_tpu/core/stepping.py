@@ -85,14 +85,16 @@ def _flat_indices(base: jnp.ndarray, n_grid: int) -> jnp.ndarray:
 
 
 def _scatter_grid(vel_src, wt_src, gidx, n_cells):
-    """Scatter-add (N,27,C) value rows and (N,27) weight-like values."""
+    """Scatter-add (N,27,C) value rows and (N,27) weight-like values.
+
+    One (C+1)-channel scatter instead of two: XLA scatter cost is
+    row-serial, so halving the passes halves the cost."""
     flat = gidx.reshape(-1)
     c = vel_src.shape[-1]
-    grid_v = jnp.zeros((n_cells, c), vel_src.dtype).at[flat].add(
-        vel_src.reshape(-1, c), mode="drop")
-    grid_w = jnp.zeros((n_cells,), wt_src.dtype).at[flat].add(
-        wt_src.reshape(-1), mode="drop")
-    return grid_v, grid_w
+    src = jnp.concatenate([vel_src, wt_src[..., None]], -1)
+    grid = jnp.zeros((n_cells, c + 1), vel_src.dtype).at[flat].add(
+        src.reshape(-1, c + 1), mode="drop")
+    return grid[:, :c], grid[:, c]
 
 
 def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
@@ -377,27 +379,27 @@ def mover_fields(cfg: MPMStaticConfig, state: MPMState,
     E, T = cfg.n_elements, cfg.n_traditional
     G3 = cfg.n_grid ** 3
     dtype = state.x.dtype
-    grid_vel = jnp.zeros((G3, 3), dtype)
-    grid_w = jnp.zeros((G3,), dtype)
 
-    def add(points, vels, gv, gw):
-        dv, dw_ = rasterize_to_grid(cfg, points, vels, G3)
-        return gv + dv, gw + dw_
-
+    # ONE fused splat for all joint classes (each extra rasterize pass
+    # materialized + added two more (G^3) tensors: 3.6 -> ~1 ms)
+    pts, vels = [], []
     if joint_traditional_v is not None and cfg.num_joint_t > 0:
         # joint traditional particles sit at the END of the traditional block
         # (mpm_solver.py:446: offset = n_particles - n_vertices - joint_num)
         start = E + T - cfg.num_joint_t
-        grid_vel, grid_w = add(state.x[start:E + T], joint_traditional_v,
-                               grid_vel, grid_w)
+        pts.append(state.x[start:E + T])
+        vels.append(joint_traditional_v)
     if joint_verts_v is not None and cfg.num_joint_v > 0:
         start = E + T
-        grid_vel, grid_w = add(state.x[start:start + cfg.num_joint_v],
-                               joint_verts_v, grid_vel, grid_w)
+        pts.append(state.x[start:start + cfg.num_joint_v])
+        vels.append(joint_verts_v)
     if joint_faces_v is not None and cfg.num_joint_f > 0:
-        grid_vel, grid_w = add(state.x[:cfg.num_joint_f], joint_faces_v,
-                               grid_vel, grid_w)
-    return grid_vel, grid_w
+        pts.append(state.x[:cfg.num_joint_f])
+        vels.append(joint_faces_v)
+    if not pts:
+        return (jnp.zeros((G3, 3), dtype), jnp.zeros((G3,), dtype))
+    return rasterize_to_grid(cfg, jnp.concatenate(pts, 0),
+                             jnp.concatenate(vels, 0), G3)
 
 
 def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,

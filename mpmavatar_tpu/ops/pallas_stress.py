@@ -196,7 +196,7 @@ _stress_fused.defvjp(_stress_fwd, _stress_bwd)
 
 
 def cloth_stress_fused(d, r_inv, vol, sel, mu, lam, gamma, kappa,
-                       friction_coeff, block: int = 64 * 1024,
+                       friction_coeff, block: int = 8192,
                        interpret=None):
     """Fused QR + return map + anisotropic stress for the element block.
 
