@@ -702,11 +702,10 @@ def p2g2p(cfg: MPMStaticConfig,
         if column_pallas:
             from ..ops import pallas_transfer as _pt
             geom = None
-            px_t = _pt.pack_positions(state, bins)
-            grid_v_in, grid_m = _pt.p2g_columns_fused(
+            grid_v_in, grid_m, px_t = _pt.p2g_columns_fused(
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-                radius=column_radius, bf16=column_bf16, px_t=px_t)
+                radius=column_radius, bf16=column_bf16, return_px=True)
         else:
             geom = _ct.pack_geometry(
                 cfg, state.x, bins, radius=column_radius,

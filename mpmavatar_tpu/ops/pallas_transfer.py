@@ -353,7 +353,8 @@ def pack_positions(state, bins: ColumnBins):
 def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
-                      block_c: int = 8, interpret=None, px_t=None):
+                      block_c: int = 8, interpret=None, px_t=None,
+                      return_px: bool = False):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
@@ -381,13 +382,22 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     mass = state.mass
     c_use = state.C if c_eff is None else c_eff
 
+    # ONE fused 30-row gather (x + attributes): TPU gathers are
+    # row-latency bound (~8 ns per row regardless of width), so a
+    # separate position gather costs a full extra pass over the
+    # C*K pack rows
     attr = jnp.concatenate(
-        [state.v, c_use.reshape(P, 9), mass[:, None], sel[:, None],
-         stress_eff.reshape(P, 9), vforce, is_vertex[:, None]], axis=1)
+        [state.x, state.v, c_use.reshape(P, 9), mass[:, None],
+         sel[:, None], stress_eff.reshape(P, 9), vforce,
+         is_vertex[:, None]], axis=1)
     # slot-lane kernel layout: channels on rows, packed slots on lanes
+    packed30 = _packed_gather(attr, pid,
+                              fill=0.0).transpose(0, 2, 1)  # (C, 30, K)
     if px_t is None:
-        px_t = pack_positions(state, bins)                # (C, 3, K)
-    pattr_t = _packed_gather(attr, pid).transpose(0, 2, 1)  # (C, 27, K)
+        # sentinel slots gathered x=0 -> base=-1; their coefficients are
+        # zero (mass/sel gathered 0) so the weights never contribute
+        px_t = packed30[:, 0:3, :]
+    pattr_t = packed30[:, 3:, :]                          # (C, 27, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
@@ -398,6 +408,8 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     # (C, 4S, G) lane-aligned kernel layout -> (C, G, 4, S) scatter layout
     out = out.reshape(pid.shape[0], 4, S, G).transpose(0, 3, 1, 2)
     grid = _scatter_columns(out, bins, G, 4, radius).reshape(G * G * G, 4)
+    if return_px:
+        return grid[:, :3], grid[:, 3], px_t
     return grid[:, :3], grid[:, 3]
 
 
