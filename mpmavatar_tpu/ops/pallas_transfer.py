@@ -527,8 +527,10 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
 
     vals1 = jnp.concatenate(
         [values, jnp.ones(values.shape[:-1] + (1,), values.dtype)], -1)
-    px_t = _packed_gather(points, pid, fill=-1e6).transpose(0, 2, 1)
-    vals_t = (_packed_gather(vals1, pid) * ok[..., None]
+    # one fused (3 + CH + 1)-row gather (row-latency bound, like p2g)
+    both = _packed_gather(jnp.concatenate([points, vals1], -1), pid)
+    px_t = both[..., :3].transpose(0, 2, 1)
+    vals_t = (both[..., 3:] * ok[..., None]
               ).transpose(0, 2, 1)                        # (C, CH+1, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(points.dtype)
