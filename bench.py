@@ -214,7 +214,7 @@ def main():
     render_fps = None
     try:
         import bench_render
-        render_fps = bench_render.main(quiet=True, iters=5)["value"]
+        render_fps = bench_render.main(quiet=True, iters=10)["value"]
     except Exception:
         pass
     print(json.dumps({
