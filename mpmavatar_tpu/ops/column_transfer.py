@@ -375,10 +375,12 @@ def _scatter_columns(out, bins, G, n_ch, radius: int = 1,
     matching the no-hit drop of the full-Gz one-hot)."""
     targets = _shift_columns(bins, G, radius, ztile)
     T = n_ztiles(G) if ztile else 1
-    grid = jnp.zeros((G * G * T + 1, out.shape[1], n_ch), out.dtype)
+    # no sentinel row: the sentinel id == size is out-of-bounds and
+    # mode="drop" discards it — a +1 row would force a full-grid slice
+    # copy afterwards
+    grid = jnp.zeros((G * G * T, out.shape[1], n_ch), out.dtype)
     for s in range(targets.shape[1]):
         grid = grid.at[targets[:, s]].add(out[..., s], mode="drop")
-    grid = grid[:G * G * T]
     if not ztile:
         return grid
     fine = grid.reshape(G * G, T, _ZW, n_ch)
@@ -531,13 +533,16 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
         fine = grid[:, jnp.clip(tz, 0, G - 1), :] * zmask
         grid_rows = fine.reshape(G * G * T, _ZW, 3)
         W = _ZW
+        nrows = G * G * T
     else:
         grid_rows = grid
         W = G
-    grid_pad = jnp.concatenate(
-        [grid_rows, jnp.zeros((1, W, 3), dtype)], 0)     # sentinel row
+        nrows = G * G
+    # clip-gather + mask instead of a sentinel row: the concat would
+    # copy the whole grid just to add one zero row
     tcols = _shift_columns(bins, G, radius, ztile)       # (C, S)
-    gcols = grid_pad[tcols]                              # (C, S, W, 3)
+    good = (tcols < nrows)[..., None, None].astype(dtype)
+    gcols = grid_rows[jnp.clip(tcols, 0, nrows - 1)] * good
 
     zmat = zb.reshape(C_cap, K * 3, W)
     g_all = gcols.transpose(0, 2, 1, 3).reshape(C_cap, W, S * 3)

@@ -430,9 +430,11 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     S = len(shifts)
 
     grid = grid_v_out.reshape(G * G, G, 3)
-    grid_pad = jnp.concatenate([grid, jnp.zeros((1, G, 3), dtype)], 0)
+    # clip-gather + mask instead of a sentinel row (the concat copies
+    # the whole grid to add one zero row)
     tcols = _shift_columns(bins, G, radius)               # (C, S)
-    gcols = grid_pad[tcols]                               # (C, S, Gz, 3)
+    good = (tcols < G * G)[..., None, None].astype(dtype)
+    gcols = grid[jnp.clip(tcols, 0, G * G - 1)] * good    # (C, S, Gz, 3)
     # channel-major rows (n = ch*S + s), grid z on lanes
     g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, G)
 
