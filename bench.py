@@ -132,8 +132,8 @@ def main():
                        column_radius=args.radius,
                        rebin_auto=args.radius > 1,
                        column_pallas=args.pallas,
-                       fused_grid=(not args.no_fused) or None,
-                       fused_stress=(not args.no_fused) or None)
+                       fused_grid=not args.no_fused,
+                       fused_stress=not args.no_fused)
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -211,15 +211,17 @@ def main():
     # fold the secondary render benchmark into the same headline line
     # (the driver records exactly one JSON line; VERDICT r1 flagged the
     # render number as self-reported-only)
-    render_fps = None
+    render_extra = {}
     try:
         import bench_render
-        render_fps = bench_render.main(quiet=True, iters=10)["value"]
-    except Exception:
-        pass
+        render_extra = {"render_fps_1080p_50k":
+                        bench_render.main(quiet=True, iters=10)["value"]}
+    except Exception as e:  # surface, never silently drop the metric
+        import sys
+        print(f"render bench failed: {e!r}", file=sys.stderr)
+        render_extra = {"render_error": str(e)[:200]}
     print(json.dumps({
-        **({"render_fps_1080p_50k": render_fps}
-           if render_fps is not None else {}),
+        **render_extra,
         "metric": "mpm_substeps_per_sec_100k_particles_128grid",
         "value": round(sps, 2),
         "unit": "substeps/s",

@@ -197,6 +197,18 @@ def _packed_gather(arr, pid, fill=0.0):
     return padded[pid]
 
 
+def _z_weights(fz, inv_dx):
+    """Quadratic B-spline z weights/derivatives (shared by the full-Gz
+    and windowed z-basis builders so the stencil formulas cannot
+    drift)."""
+    wa = 1.5 - fz
+    wb = fz - 1.0
+    wc = fz - 0.5
+    wz = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
+    dwz = jnp.stack([fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5], -1) * inv_dx
+    return wz, dwz
+
+
 def _z_bases(px_z, base_z, cfg, Gz):
     """Three z-basis tensors (C, K, 3, Gz).
 
@@ -205,11 +217,7 @@ def _z_bases(px_z, base_z, cfg, Gz):
     inv_dx = cfg.inv_dx
     gz = px_z * inv_dx
     fz = gz - base_z.astype(px_z.dtype)
-    wa = 1.5 - fz
-    wb = fz - 1.0
-    wc = fz - 0.5
-    wz = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
-    dwz = jnp.stack([fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5], -1) * inv_dx
+    wz, dwz = _z_weights(fz, inv_dx)
 
     zline = jnp.arange(Gz, dtype=jnp.int32)
     z0 = jnp.zeros(px_z.shape + (Gz,), px_z.dtype)
@@ -233,11 +241,7 @@ def _z_bases_win(px_z, base_z, cfg, tile):
     inv_dx = cfg.inv_dx
     gz = px_z * inv_dx
     fz = gz - base_z.astype(px_z.dtype)
-    wa = 1.5 - fz
-    wb = fz - 1.0
-    wc = fz - 0.5
-    wz = jnp.stack([0.5 * wa * wa, 0.75 - wb * wb, 0.5 * wc * wc], -1)
-    dwz = jnp.stack([fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5], -1) * inv_dx
+    wz, dwz = _z_weights(fz, inv_dx)
 
     zloc = base_z - (tile * _ZH)[:, None]       # (C, K) window-local
     zline = jnp.arange(_ZW, dtype=jnp.int32)

@@ -520,17 +520,18 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
     C_cap = pid.shape[0]
     block_c = _pick_block(C_cap, block_c)
 
+    vals1 = jnp.concatenate(
+        [values, jnp.ones(values.shape[:-1] + (1,), values.dtype)], -1)
+    # one fused (3 + CH + 1)-row gather (row-latency bound, like p2g);
+    # the bounds check reuses the gathered points instead of a second
+    # gather pass
+    both = _packed_gather(jnp.concatenate([points, vals1], -1), pid)
     ok = bins.valid.astype(points.dtype)
     if bounds_check:
-        pbase = jnp.floor(_packed_gather(points, pid) * cfg.inv_dx
+        pbase = jnp.floor(both[..., :3] * cfg.inv_dx
                           - 0.5).astype(jnp.int32)
         inb = jnp.all((pbase >= 0) & (pbase < G - 3), axis=-1)
         ok = ok * inb.astype(points.dtype)
-
-    vals1 = jnp.concatenate(
-        [values, jnp.ones(values.shape[:-1] + (1,), values.dtype)], -1)
-    # one fused (3 + CH + 1)-row gather (row-latency bound, like p2g)
-    both = _packed_gather(jnp.concatenate([points, vals1], -1), pid)
     px_t = both[..., :3].transpose(0, 2, 1)
     vals_t = (both[..., 3:] * ok[..., None]
               ).transpose(0, 2, 1)                        # (C, CH+1, K)

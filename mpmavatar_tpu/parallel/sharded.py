@@ -468,29 +468,33 @@ def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
                 column_c_cap=column_c_cap)
             return (stc, jnp.maximum(of, st_of)), None
 
-        (st, _), _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False),
-                                  (st, jnp.zeros((), jnp.int32)),
-                                  jnp.arange(num_substeps))
+        (st, of), _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False),
+                                   (st, jnp.zeros((), jnp.int32)),
+                                   jnp.arange(num_substeps))
         err = jnp.sum((st.xv - target) ** 2)
         err = jax.lax.psum(err, axis)
         loss = err / (3.0 * nv)
-        return loss, st
+        return loss, (st, of)
 
     def step(st, um, mesh_x, mesh_v, joint_verts_v, target):
         def loss_fn(um_):
-            loss, new_st = substeps_and_loss(st, um_, mesh_x, mesh_v,
-                                             joint_verts_v, target)
-            return loss, new_st
-        (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(um)
+            loss, aux = substeps_and_loss(st, um_, mesh_x, mesh_v,
+                                          joint_verts_v, target)
+            return loss, aux
+        (loss, (new_st, of)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(um)
         # um is replicated but each device's grad covers only its loss /
         # particle shard -> reduce to the true global gradient.
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
-        return loss, grads, new_st
+        # column-cap overflow telemetry: silent particle loss makes the
+        # gradients wrong, so the caller must be able to fail loud
+        of = jax.lax.pmax(of, axis)[None]
+        return loss, grads, new_st, of
 
     sharded = jax.shard_map(
         step, mesh=device_mesh,
         in_specs=(P(axis), P(), P(axis), P(axis), P(), P(axis)),
-        out_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P(axis), P()),
         check_vma=False)
     return jax.jit(sharded)
 

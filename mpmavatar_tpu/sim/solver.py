@@ -377,12 +377,14 @@ class MPMSolver:
         ``mesh_xs``: iterable of (Vb, 3) collider vertex frames (the
         registered mesh colliders' faces are used for centroids)."""
         from ..ops import column_transfer as _ct
+        ztile = (self.column_ztile and self.column_radius == 1
+                 and not self.column_pallas)
         if xs is not None and self.column_k > 0:
             rows = 0
             xs = list(xs)
             for x in xs[::max(1, sample_every)]:
                 rows = max(rows, int(_ct.count_rows(
-                    jnp.asarray(x), self.cfg, self.column_k)))
+                    jnp.asarray(x), self.cfg, self.column_k, ztile)))
             want = int(rows * headroom)
             for cap in self._CAP_LADDER:
                 if cap >= want:
@@ -402,8 +404,11 @@ class MPMSolver:
                         centroid, self.cfg, self.mesh_column_k)))
             n_faces = max(int(mc.faces.shape[0])
                           for mc in self.colliders.mesh_colliders)
+            # clamp rounded UP to a multiple of 8: a raw odd n_faces
+            # would collapse the Pallas block picker to 1-row programs
             self.mesh_c_cap = min(
-                -(-int(rows * headroom) // 256) * 256, n_faces)
+                -(-int(rows * headroom) // 256) * 256,
+                -(-n_faces // 8) * 8)
         return self.column_c_cap, self.mesh_c_cap
 
     def adapt_mesh_cap(self, mesh_x, headroom: float = 1.15,
@@ -423,7 +428,7 @@ class MPMSolver:
             rows = int(_ct.count_rows(centroid, self.cfg,
                                       self.mesh_column_k))
             want = -(-int(rows * headroom) // quantum) * quantum
-            caps.append(min(want, int(mc.faces.shape[0])))
+            caps.append(min(want, -(-int(mc.faces.shape[0]) // 8) * 8))
         self.mesh_c_cap = max(caps)
         return self.mesh_c_cap
 

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--pallas", action="store_true", default=None,
                         help="fused-Pallas transfer kernels (default: "
                         "auto — on for real TPUs)")
+    parser.add_argument("--no_pallas", dest="pallas",
+                        action="store_false",
+                        help="force the XLA column path")
     parser.add_argument("--mesh_column_k", type=int, default=64,
                         help="collider-splat slots per column; must cover "
                         "the max collider faces per (x,y) cell — the frame "

@@ -127,3 +127,37 @@ def test_pallas_path_gradients():
     l_pal, g_pal = loss_with(True)
     np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-6)
     np.testing.assert_allclose(float(g_pal), float(g_ref), rtol=1e-4)
+
+
+def test_splat_fused_matches_xla():
+    """splat_columns_fused (default mesh-collider splat on TPU) vs the
+    XLA splat_columns, incl. out-of-bounds points and overflow counts."""
+    import numpy as np
+    from mpmavatar_tpu.core.types import MPMStaticConfig
+    from mpmavatar_tpu.ops import column_transfer as ct
+    from mpmavatar_tpu.ops import pallas_transfer as pt
+
+    cfg = MPMStaticConfig(n_elements=0, n_traditional=10, n_vertices=0,
+                          n_grid=32, grid_lim=2.0)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.1, 1.9, (400, 3)).astype(np.float32)
+    pts[:5] = [[-0.1, 1.0, 1.0], [1.0, 2.1, 1.0], [1.95, 1.0, 1.0],
+               [1.0, 1.0, -0.2], [0.02, 0.02, 0.02]]  # oob / boundary
+    vals = rng.normal(size=(400, 6)).astype(np.float32)
+    a_v, a_w, a_of = ct.splat_columns(cfg, jnp.asarray(pts),
+                                      jnp.asarray(vals), 32)
+    b_v, b_w, b_of = pt.splat_columns_fused(cfg, jnp.asarray(pts),
+                                            jnp.asarray(vals), 32)
+    np.testing.assert_allclose(np.asarray(b_v), np.asarray(a_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_w), np.asarray(a_w),
+                               rtol=1e-5, atol=1e-6)
+    assert int(a_of) == int(b_of)
+
+    # tight caps: identical overflow accounting
+    a_v, a_w, a_of = ct.splat_columns(cfg, jnp.asarray(pts),
+                                      jnp.asarray(vals), 4, c_cap=16)
+    b_v, b_w, b_of = pt.splat_columns_fused(cfg, jnp.asarray(pts),
+                                            jnp.asarray(vals), 4,
+                                            c_cap=16)
+    assert int(a_of) == int(b_of) > 0

@@ -57,7 +57,7 @@ def test_sharded_material_step_runs_and_grads():
     target = st.xv  # rest target
 
     step = make_sharded_material_step(cfg, mesh, num_substeps=3, dt=1e-4)
-    loss, grads, new_st = step(st, um, mesh_x, mesh_v, None, target)
+    loss, grads, new_st, _of = step(st, um, mesh_x, mesh_v, None, target)
     assert np.isfinite(float(loss))
     for leaf in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
@@ -81,7 +81,7 @@ def test_sharded_matches_single_device():
     mesh_v = jnp.zeros_like(mesh_x)
 
     step = make_sharded_material_step(cfg, mesh, num_substeps=5, dt=1e-4)
-    _, _, new_st = step(st, um, mesh_x, mesh_v, None, st.xv)
+    _, _, new_st, _of = step(st, um, mesh_x, mesh_v, None, st.xv)
 
     model = types.make_model(cfg.n_particles, E=200.0, nu=0.3)
     s = state
@@ -157,7 +157,7 @@ def test_sharded_gradients_match_single_device():
     target = st.xv * 0.999
 
     step = make_sharded_material_step(cfg, mesh, num_substeps=4, dt=1e-4)
-    loss_sh, grads_sh, _ = step(st_sharded, um, mesh_x, mesh_v, None,
+    loss_sh, grads_sh, _, _of = step(st_sharded, um, mesh_x, mesh_v, None,
                                 target)
 
     # single-device equivalent loss
