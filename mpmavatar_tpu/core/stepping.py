@@ -317,8 +317,14 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
     G = cfg.n_grid
     if column_k > 0 and use_pallas:
         from ..ops import pallas_transfer as _pt
+        # splat_columns_fused is forward-only (no custom VJP): mesh_x/
+        # mesh_v are rollout INPUTS in every shipped driver, so nothing
+        # differentiates through the collider splat.  stop_gradient makes
+        # that contract explicit — a future loss through collider motion
+        # would otherwise fail at trace time inside the jitted rollout.
         acc, grid_w, overflow = _pt.splat_columns_fused(
-            cfg, centroid, vals, column_k, c_cap=c_cap)
+            cfg, jax.lax.stop_gradient(centroid),
+            jax.lax.stop_gradient(vals), column_k, c_cap=c_cap)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
         acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,

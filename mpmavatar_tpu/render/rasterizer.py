@@ -277,6 +277,8 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
     p = TILE * TILE
     accum0 = jnp.zeros((num_tiles, p, nc), means2d.dtype)
     trans0 = jnp.ones((num_tiles, p), means2d.dtype)
+    # small images can have fewer tiles than the requested hot set
+    hot_tiles = min(hot_tiles, num_tiles)
     two_tier = 0 < cap_lo < cap and hot_tiles > 0
     cap1 = cap_lo if two_tier else cap
     chunks = table[:, :cap1].reshape(num_tiles, cap1 // chunk,

@@ -369,10 +369,15 @@ class MPMSolver:
         """One-time static cap sizing from KNOWN trajectories.
 
         Training/demo drivers know every frame's particle positions
-        (tracked verts) and collider mesh up front; probing the exact
-        pack-row maxima over the trajectory picks caps that (a) never
-        overflow and (b) never force a mid-run recompile the way
-        per-frame adaptation would inside jitted grad rollouts.
+        (tracked verts) and collider mesh up front; the caps are sized
+        from the sampled trajectory's pack-row MAXIMA plus ``headroom``,
+        and never force a mid-run recompile the way per-frame adaptation
+        would inside jitted grad rollouts.  This is a heuristic bound,
+        not a guarantee: frames between samples, or simulated states
+        that deviate from the probed trajectory (e.g. during material
+        training), can still exceed the headroom — the runtime overflow
+        check (``frame(..., return_overflow=True)`` + ``check_overflow``)
+        remains required.
         ``xs``: iterable of (P, 3) particle positions (sim space);
         ``mesh_xs``: iterable of (Vb, 3) collider vertex frames (the
         registered mesh colliders' faces are used for centroids)."""
@@ -431,6 +436,21 @@ class MPMSolver:
             caps.append(min(want, -(-int(mc.faces.shape[0]) // 8) * 8))
         self.mesh_c_cap = max(caps)
         return self.mesh_c_cap
+
+    @staticmethod
+    def check_finite(state: MPMState, context: str = "rollout"):
+        """Host-side fail-loud NaN/Inf detector for long rollouts: raises
+        on the FIRST bad frame instead of letting the driver write NaN
+        OBJs until something downstream chokes.  Call at frame
+        boundaries next to ``check_overflow`` (the reference relies on
+        in-kernel clamps only — SURVEY.md §5 failure detection)."""
+        bad = validate_state(state)
+        if bad:
+            raise FloatingPointError(
+                f"non-finite simulation state during {context}: "
+                f"{bad} (field -> bad-value count). The timestep is "
+                "likely unstable for this stiffness/grid — reduce dt "
+                "(see cfl_dt) or raise the substep count.")
 
     @staticmethod
     def check_overflow(overflow, context: str = "rollout"):

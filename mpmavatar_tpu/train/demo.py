@@ -187,26 +187,32 @@ def render_demo_frame(avatar, params, verts, ao_map, cam, camera_idx,
     colors, _ = shaded_colors(avatar, params, frames, ao_map,
                               ca.cam_center, xyz, active_sh_degree)
 
-    extra = None
+    # sand and chair are INDEPENDENT overlays: the reference renders the
+    # simulated sand unconditionally (run_demo.py:575-578,601) while the
+    # chair gaussians are an optional asset
+    packs = []
+    if sand_xyz is not None:
+        n = sand_xyz.shape[0]
+        lo = sand_xyz.min(axis=0, keepdims=True)
+        hi = sand_xyz.max(axis=0, keepdims=True)
+        sand_color = ((sand_xyz - lo) / jnp.maximum(hi - lo, 1e-8)
+                      * 0.5 + 0.25)
+        sand_scale = 0.3 * 0.2 / 50 * jnp.ones((n, 3), jnp.float32)
+        sand_rot = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
+        sand_cov = covariance_from_scaling_rotation(sand_scale, 1.0,
+                                                    sand_rot)
+        packs.append((sand_xyz, sand_color, jnp.ones((n,)), sand_cov))
     if chair is not None:
         chair_color = convert_sh_colors(chair_shs, chair["xyz"],
                                         ca.cam_center, active_sh_degree)
         chair_cov = covariance_from_scaling_rotation(
             chair["scale"], 1.0, chair["rotation"])
-        ex_xyz, ex_col = chair["xyz"], chair_color
-        ex_op, ex_cov = chair["opacity"].reshape(-1), chair_cov
-        if sand_xyz is not None:
-            _, _, sand_color = get_extra_attr(chair, chair_color, sand_xyz)
-            n = sand_xyz.shape[0]
-            sand_scale = 0.3 * 0.2 / 50 * jnp.ones((n, 3), jnp.float32)
-            sand_rot = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
-            sand_cov = covariance_from_scaling_rotation(sand_scale, 1.0,
-                                                        sand_rot)
-            ex_xyz = jnp.concatenate([sand_xyz, ex_xyz], 0)
-            ex_col = jnp.concatenate([sand_color, ex_col], 0)
-            ex_op = jnp.concatenate([jnp.ones((n,)), ex_op], 0)
-            ex_cov = jnp.concatenate([sand_cov, ex_cov], 0)
-        extra = (ex_xyz, ex_col, ex_op, ex_cov)
+        packs.append((chair["xyz"], chair_color,
+                      chair["opacity"].reshape(-1), chair_cov))
+    extra = None
+    if packs:
+        extra = tuple(jnp.concatenate([p[i] for p in packs], 0)
+                      for i in range(4))
 
     out = render(cam, params.splats, frames, bg_color=jnp.ones(3),
                  active_sh_degree=active_sh_degree, override_color=colors,

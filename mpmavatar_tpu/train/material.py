@@ -200,31 +200,41 @@ class MaterialTrainer:
             state = dataclasses.replace(state, R_inv=r_inv)
 
             def frame_body(carry, xs):
-                st, t = carry
+                st, t, of = carry
                 mesh_x, mesh_v, jv, target = xs
                 jf = jv[faces_j].mean(1)
-                st, t = solver.frame(st, model, dt, cfg.substep, t,
-                                     mesh_x=mesh_x, mesh_v=mesh_v,
-                                     joint_verts_v=jv, joint_faces_v=jf,
-                                     remat=True)
+                st, t, st_of = solver.frame(st, model, dt, cfg.substep, t,
+                                            mesh_x=mesh_x, mesh_v=mesh_v,
+                                            joint_verts_v=jv,
+                                            joint_faces_v=jf,
+                                            remat=True,
+                                            return_overflow=True)
                 cloth = st.x[static.n_elements:]
                 floss = jnp.mean((cloth - target) ** 2)
-                return (st, t), floss
+                return (st, t, jnp.maximum(of, st_of)), floss
 
-            (_, _), losses = jax.lax.scan(
-                frame_body, (state, jnp.float32(0.0)),
+            # overflow rides the scan as an aux: the trainer's static caps
+            # are calibrated from the TRACKED trajectory, but the simulated
+            # cloth can drift past the headroom mid-training — overflowing
+            # bins silently drop particles and corrupt loss AND gradient,
+            # so the caller must fail loud (ADVICE r2)
+            (_, _, overflow), losses = jax.lax.scan(
+                frame_body, (state, jnp.float32(0.0),
+                             jnp.zeros((), jnp.int32)),
                 (data["smplx_sim"], data["smplx_velo_sim"],
                  data["joint_velo_sim"], data["target_sim"]))
-            return jnp.mean(losses)
+            return jnp.mean(losses), overflow
 
-        vg = jax.jit(jax.value_and_grad(rollout_loss))
+        vg = jax.jit(jax.value_and_grad(rollout_loss, has_aux=True))
         return lambda params: vg(params, self._rollout_data)
 
     def train_one_step(self):
         """One optimization step with autodiff gradients
         (supersedes train_material_params.py:571-714)."""
         cfg = self.cfg
-        loss, grads = self._rollout_loss(self.params)
+        (loss, overflow), grads = self._rollout_loss(self.params)
+        self.solver.check_overflow(overflow,
+                                   context=f"training step {self.step}")
         lr_scale = self.lr_schedule(self.step)
         grads = jax.tree.map(lambda g: g * lr_scale, grads)
         updates, self.opt_state = self.tx.update(grads, self.opt_state,
@@ -253,7 +263,9 @@ class MaterialTrainer:
         for (dD, dE, dH) in probes:
             p = {"D": self.params["D"] + dD, "E": self.params["E"] + dE,
                  "H": self.params["H"] + dH}
-            loss, _ = self._rollout_loss(p)
+            (loss, overflow), _ = self._rollout_loss(p)
+            self.solver.check_overflow(
+                overflow, context=f"FD probe at step {self.step}")
             losses.append(float(loss))
         grads = {"D": jnp.float32((losses[1] - losses[0]) / 0.05),
                  "E": jnp.float32((losses[2] - losses[0]) / 0.05),
@@ -323,6 +335,7 @@ class MaterialTrainer:
                 mesh_v=mesh_v, joint_verts_v=jv, joint_faces_v=jf,
                 return_overflow=True)
             self.solver.check_overflow(of, context=f"simulate frame {i}")
+            self.solver.check_finite(state, context=f"simulate frame {i}")
             cloth = self.tf.sim2wld(state.x[static.n_elements:])
             outs.append(np.asarray(cloth))
         return outs

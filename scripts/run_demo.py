@@ -146,6 +146,7 @@ def main():
                                     joint_verts_v=jv, joint_faces_v=jf,
                                     return_overflow=True)
         solver.check_overflow(of, context=f"demo frame {i}")
+        solver.check_finite(state, context=f"demo frame {i}")
         x = np.asarray(state.x)
         cloth = np.asarray(tf.sim2wld(jnp.asarray(
             x[cfg.n_elements + cfg.n_traditional:])))
@@ -213,9 +214,11 @@ def render_orbit(args, cloth_f):
         ao = bake_ao(jnp.asarray(verts), jnp.asarray(avatar.faces),
                      jnp.asarray(chart.face_idx), jnp.asarray(chart.bary),
                      jnp.asarray(chart.texel_ij))
+        # sand renders unconditionally (reference run_demo.py:575-601);
+        # chair gaussians are a separate optional overlay
         img, _ = render_demo_frame(
             avatar, params, jnp.asarray(verts), ao, cams[i], 0,
-            sand_xyz=jnp.asarray(sand) if chair is not None else None,
+            sand_xyz=jnp.asarray(sand) if len(sand) else None,
             chair=chair, chair_shs=chair_shs)
         arr = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
                * 255).astype(np.uint8)

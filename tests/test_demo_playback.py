@@ -35,6 +35,38 @@ def test_playback_roundtrip_and_motion():
         np.asarray((pb["verts"][1] - pb["verts"][0]) * 25.0), atol=1e-5)
 
 
+def test_demo_sand_renders_without_chair(tmp_path):
+    """Simulated sand must appear in the demo render even when no chair
+    gaussians are supplied (reference renders sand unconditionally,
+    run_demo.py:575-601; the round-2 port dropped it when chair=None)."""
+    from test_train import make_fake_tracking_assets
+    from test_rasterizer import simple_camera
+    from mpmavatar_tpu.render.avatar_model import load_mesh_avatar
+    from mpmavatar_tpu.train.demo import render_demo_frame
+
+    verts, faces = make_fake_tracking_assets(tmp_path)
+    avatar, params = load_mesh_avatar(str(tmp_path),
+                                      str(tmp_path / "uv.obj"),
+                                      sh_degree=1, capacity_factor=2.0)
+    cam = simple_camera(w=64, h=64, f=40.0, cam_z=-2.0)
+    v = avatar.select_verts(params, 0) - jnp.asarray([1.0, 1.0, 1.0])
+    ao = jnp.asarray(avatar.ao_maps[0])
+
+    # sand cloud in front of the cloth, visible to the camera
+    rng = np.random.default_rng(3)
+    sand = jnp.asarray(rng.uniform(-0.2, 0.2, (200, 3)).astype(np.float32)
+                       + np.asarray([0.0, 0.0, -0.3], np.float32))
+
+    img_plain, _ = render_demo_frame(avatar, params, v, ao, cam, 0,
+                                     sand_xyz=None, chair=None,
+                                     tile_capacity=128)
+    img_sand, _ = render_demo_frame(avatar, params, v, ao, cam, 0,
+                                    sand_xyz=sand, chair=None,
+                                    tile_capacity=128)
+    assert np.isfinite(np.asarray(img_sand)).all()
+    assert float(jnp.abs(img_sand - img_plain).max()) > 0.01
+
+
 @pytest.mark.slow
 def test_animated_collider_drives_cloth():
     """A moving body under the cloth must change the outcome vs a static

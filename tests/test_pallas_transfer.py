@@ -30,10 +30,15 @@ def _scene(nx=12, grid=64, K=16, cap=512):
     return cfg, state, model, sstress, svf, bins, K
 
 
-@pytest.mark.parametrize(
-    "radius", [1, pytest.param(2, marks=pytest.mark.slow)])
-def test_p2g_fused_matches_xla(radius):
-    cfg, state, model, sstress, svf, bins, K = _scene()
+# radius 2 and bf16 run UNMARKED on a shrunk scene: both are supported
+# knobs of the shipped fast path, so the default suite must exercise
+# their parity (ADVICE r2 flagged them as slow-only)
+_SMALL = dict(nx=7, grid=32, K=8, cap=128)
+
+
+@pytest.mark.parametrize("radius,scene", [(1, {}), (2, _SMALL)])
+def test_p2g_fused_matches_xla(radius, scene):
+    cfg, state, model, sstress, svf, bins, K = _scene(**scene)
     gv_ref, gm_ref = ct.p2g_columns(cfg, state, sstress, svf, K,
                                     bins=bins, radius=radius)
     gv, gm = pt.p2g_columns_fused(cfg, state, sstress, svf, K, bins=bins,
@@ -44,10 +49,9 @@ def test_p2g_fused_matches_xla(radius):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize(
-    "radius", [1, pytest.param(2, marks=pytest.mark.slow)])
-def test_g2p_fused_matches_xla(radius):
-    cfg, state, model, sstress, svf, bins, K = _scene()
+@pytest.mark.parametrize("radius,scene", [(1, {}), (2, _SMALL)])
+def test_g2p_fused_matches_xla(radius, scene):
+    cfg, state, model, sstress, svf, bins, K = _scene(**scene)
     gv, gm = ct.p2g_columns(cfg, state, sstress, svf, K, bins=bins,
                             radius=radius)
     grid_v_out = stepping.grid_update(cfg, model, gv, gm, 2e-4)
@@ -58,6 +62,32 @@ def test_g2p_fused_matches_xla(radius):
     for a, b, name in zip(out, ref, ("v", "C", "grad_v")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, err_msg=name)
+
+
+def test_bf16_transfer_parity():
+    """bf16 transfer mode: fused kernels vs the XLA column path, both in
+    half precision — identical operand rounding, loose output tol."""
+    cfg, state, model, sstress, svf, bins, K = _scene(**_SMALL)
+    gv_ref, gm_ref = ct.p2g_columns(cfg, state, sstress, svf, K,
+                                    bins=bins, bf16=True)
+    gv, gm = pt.p2g_columns_fused(cfg, state, sstress, svf, K, bins=bins,
+                                  bf16=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=1e-3)
+    # bf16 stays a faithful approximation of the f32 transfer
+    gv32, gm32 = ct.p2g_columns(cfg, state, sstress, svf, K, bins=bins)
+    denom = max(1e-6, float(jnp.abs(gm32).max()))
+    assert float(jnp.abs(gm - gm32).max()) / denom < 2e-2
+
+    grid_v_out = stepping.grid_update(cfg, model, gv32, gm32, 2e-4)
+    ref = ct.g2p_columns(cfg, state, grid_v_out, K, bins=bins, bf16=True)
+    out = pt.g2p_columns_fused(cfg, state, grid_v_out, K, bins=bins,
+                               bf16=True, interpret=True)
+    for a, b, name in zip(out, ref, ("v", "C", "grad_v")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, err_msg=name)
 
 
 @pytest.mark.slow

@@ -116,6 +116,31 @@ def test_validate_state_and_cfl():
     assert rep.get("v") == 1
     assert cfl_dt(state, solver.cfg) > 0
 
+    # the driver-facing wrapper raises with a useful message
+    import pytest
+    solver.check_finite(state, context="healthy")  # no raise
+    with pytest.raises(FloatingPointError, match="frame 3"):
+        solver.check_finite(bad, context="simulate frame 3")
+
+
+def test_unstable_rollout_fails_loud():
+    """An unstable config (dt far past CFL for this stiffness) must raise
+    via check_finite instead of silently producing NaN trajectories —
+    the failure mode VERDICT r2 flagged for the stage-4/demo loops."""
+    import pytest
+    from test_substep_golden import make_cloth, build_pair
+    from mpmavatar_tpu.sim import MPMSolver
+
+    verts, faces = make_cloth(nx=6, ny=6, y0=1.0, extent=0.4)
+    _, cfg, state, model = build_pair(verts, faces, E=5e4, n_grid=32)
+    solver = MPMSolver(cfg)
+    dt = 5e-3  # cfl-unstable on purpose (stable would be ~1e-4)
+    with pytest.raises(FloatingPointError, match="unstable"):
+        t = 0.0
+        for i in range(6):
+            state, t = solver.frame(state, model, dt, 20, t)
+            solver.check_finite(state, context=f"frame {i}")
+
 
 def test_set_parameters_in_box():
     """Region-box E/nu/density override (apply_additional_params,
