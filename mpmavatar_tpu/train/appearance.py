@@ -175,7 +175,9 @@ def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
             ll1 = l1_loss(rendering, gt)
             ds = 1.0 - ssim(rendering, gt)
             loss = (1.0 - weights.dssim) * ll1 + weights.dssim * ds
-            lp = jnp.zeros(())
+            # nan (not 0.0) when disabled: a log line reading "lpips
+            # 0.00000" would suggest the term is active and converged
+            lp = jnp.full((), jnp.nan)
             if lpips_fn is not None:
                 lp = lpips_fn(rendering[None], gt[None])
                 loss = loss + weights.lpips * lp

@@ -46,8 +46,8 @@ def vgg_features(params: Dict, x: jnp.ndarray):
     ci = 0
     for item in _VGG_CFG:
         if item == "M":
-            x = -jax.lax.reduce_window(-x, -jnp.inf, jax.lax.max,
-                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
         else:
             x = jax.nn.relu(_conv(x, params[f"conv{ci}_w"],
                                   params[f"conv{ci}_b"]))
@@ -63,8 +63,10 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     fy = vgg_features(params, y)
     total = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
-        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
-        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        # normalize_activation (lpipsPyTorch/modules/utils.py:6-8):
+        # x / (||x||_channels + eps) — additive eps, not a clamp
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-10)
         d = (a - b) ** 2
         w = params[f"lin{i}_w"]  # (1, C, 1, 1)
         total = total + jnp.mean(jnp.sum(d * w, axis=1), axis=(-1, -2))
@@ -92,8 +94,21 @@ def export_weights_npz(out_path: str, vgg_state: Dict, lin_state: Dict):
     np.savez(out_path, **out)
 
 
-def make_lpips_fn(weights_path: Optional[str] = None):
+def make_lpips_fn(weights_path: Optional[str] = None, quiet: bool = False):
+    """Returns a jitted ``lpips(a, b)`` callable, or None when no weights
+    are supplied.  The None case warns LOUDLY by default: the reference
+    recipe trains with lambda_lpips * LPIPS
+    (/root/reference/train_appearance.py:132-134), so running without it
+    silently changes the objective (VERDICT r2 weak #4)."""
     if weights_path is None:
+        if not quiet:
+            import warnings
+            warnings.warn(
+                "LPIPS weights not supplied — the lambda_lpips term is "
+                "DISABLED and the training/eval objective differs from "
+                "the reference recipe (train_appearance.py:132-134). "
+                "Supply --lpips_weights (export_weights_npz) to enable; "
+                "PSNR/SSIM are unaffected.", stacklevel=2)
         return None
     params = load_weights_npz(weights_path)
     return jax.jit(lambda a, b: lpips(params, a, b))
