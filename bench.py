@@ -72,6 +72,11 @@ def main():
     parser.add_argument("--column_k", type=int, default=96)
     parser.add_argument("--no_auto_cap", action="store_true",
                         help="disable per-frame adaptive row caps")
+    parser.add_argument("--halo", action="store_true", default=True,
+                        help="packed halo (sparse) grid: grid passes "
+                        "scale with occupied columns, not G^2 (default; "
+                        "--no_halo for the dense grid)")
+    parser.add_argument("--no_halo", dest="halo", action="store_false")
     parser.add_argument("--render", action="store_true",
                         help="benchmark the 1080p splat render instead "
                         "(prints bench_render's JSON line)")
@@ -133,7 +138,8 @@ def main():
                        rebin_auto=args.radius > 1,
                        column_pallas=args.pallas,
                        fused_grid=not args.no_fused,
-                       fused_stress=not args.no_fused)
+                       fused_stress=not args.no_fused,
+                       halo_cap=(4096 if args.halo else None))
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -155,11 +161,10 @@ def main():
 
     runs = {}
 
-    def run_for_cap(cap):
-        # one jitted frame per row cap (the cap is a static shape knob);
-        # the ladder is small so the compile cache covers real runs
-        if cap not in runs:
-            solver.column_c_cap = cap
+    def run_for_cap(key):
+        # one jitted frame per (row cap, halo cap) pair (static shape
+        # knobs); the ladders are small so the compile cache covers runs
+        if key not in runs:
 
             def run_frame(st):
                 st, _, of = solver.frame(st, model, dt, substeps, 0.0,
@@ -169,14 +174,17 @@ def main():
                                          return_overflow=True)
                 return st, of
 
-            runs[cap] = jax.jit(run_frame)
-        return runs[cap]
+            runs[key] = jax.jit(run_frame)
+        return runs[key]
 
     auto_cap = not args.no_auto_cap
 
     def frame(st):
-        cap = (solver.adapt_row_cap(st) if auto_cap else args.row_cap)
-        return run_for_cap(cap)(st)
+        if auto_cap:
+            solver.adapt_row_cap(st)   # also adapts halo_cap when on
+        else:
+            solver.column_c_cap = args.row_cap
+        return run_for_cap((solver.column_c_cap, solver.halo_cap))(st)
 
     state, of = frame(state)                          # compile + warmup
     solver.check_overflow(of, "bench warmup frame")   # honest workload

@@ -297,10 +297,13 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
 
 def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
                          mesh_x, mesh_v, column_k: int = 0,
-                         c_cap=None, use_pallas: bool = False):
+                         c_cap=None, use_pallas: bool = False,
+                         halo=None):
     """Rasterize face-centroid velocity + normal to the grid — the splat
     half of apply_mesh_collider.  Returns (acc (G^3, 6), grid_w (G^3,),
-    overflow ())."""
+    overflow ()); with ``halo`` the fields are packed (H*Gz, .) and
+    contributions outside the halo columns are dropped (no particle
+    reads them)."""
     G3 = cfg.n_grid ** 3
     p0 = mesh_x[col.faces[:, 0]]
     p1 = mesh_x[col.faces[:, 1]]
@@ -324,12 +327,17 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
         # would otherwise fail at trace time inside the jitted rollout.
         acc, grid_w, overflow = _pt.splat_columns_fused(
             cfg, jax.lax.stop_gradient(centroid),
-            jax.lax.stop_gradient(vals), column_k, c_cap=c_cap)
+            jax.lax.stop_gradient(vals), column_k, c_cap=c_cap,
+            halo=halo)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
         acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,
-                                                  column_k, c_cap=c_cap)
+                                                  column_k, c_cap=c_cap,
+                                                  halo=halo)
     else:
+        assert halo is None, (
+            "the packed halo grid needs the column splat path "
+            "(mesh_column_k > 0)")
         overflow = jnp.zeros((), jnp.int32)
         base, fx, w, _ = bspline(centroid, cfg.inv_dx)
         w27 = _stencil_products(w)
@@ -346,7 +354,7 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
 
 def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
                         mesh_x, mesh_v, grid_v_out, column_k: int = 0,
-                        c_cap=None):
+                        c_cap=None, halo=None):
     """Grid-level body-mesh collision (mpm_solver.py:819-918): rasterize
     face centroid velocity + normal to the grid, then project out inward
     relative normal velocity with Coulomb friction.
@@ -356,7 +364,7 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
     from .linalg import safe_norm
     acc, grid_w, overflow = mesh_collider_fields(cfg, col, mesh_x,
                                                  mesh_v, column_k,
-                                                 c_cap=c_cap)
+                                                 c_cap=c_cap, halo=halo)
     covered = grid_w > 1e-15
     mesh_vel = acc[:, :3] / jnp.maximum(grid_w, 1e-15)[:, None]
     n = acc[:, 3:]
@@ -379,9 +387,13 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
 
 def mover_fields(cfg: MPMStaticConfig, state: MPMState,
                  joint_verts_v=None, joint_faces_v=None,
-                 joint_traditional_v=None):
+                 joint_traditional_v=None, halo=None,
+                 use_pallas: bool = False):
     """Prescribed joint-velocity splat — the scatter half of
-    apply_particle_mover.  Returns (grid_vel (G^3, 3), grid_w (G^3,))."""
+    apply_particle_mover.  Returns (grid_vel (G^3, 3), grid_w (G^3,));
+    with ``halo`` both are packed (H*Gz, .) via the column splat (the
+    joint particles are a subset of the binned particles, so their
+    columns are always inside the halo set)."""
     E, T = cfg.n_elements, cfg.n_traditional
     G3 = cfg.n_grid ** 3
     dtype = state.x.dtype
@@ -403,19 +415,38 @@ def mover_fields(cfg: MPMStaticConfig, state: MPMState,
         pts.append(state.x[:cfg.num_joint_f])
         vels.append(joint_faces_v)
     if not pts:
+        if halo is not None:
+            n = halo.hcols.shape[0] * cfg.n_grid
+            return (jnp.zeros((n, 3), dtype), jnp.zeros((n,), dtype))
         return (jnp.zeros((G3, 3), dtype), jnp.zeros((G3,), dtype))
-    return rasterize_to_grid(cfg, jnp.concatenate(pts, 0),
-                             jnp.concatenate(vels, 0), G3)
+    pts = jnp.concatenate(pts, 0)
+    vels = jnp.concatenate(vels, 0)
+    if halo is not None:
+        # exact static caps: at most one pack row per joint point
+        n_pts = pts.shape[0]
+        c_cap = -(-n_pts // 8) * 8
+        if use_pallas:
+            from ..ops.pallas_transfer import splat_columns_fused
+            gv, gw, _ = splat_columns_fused(cfg, pts, vels, 8,
+                                            c_cap=c_cap, halo=halo)
+        else:
+            from ..ops.column_transfer import splat_columns
+            gv, gw, _ = splat_columns(cfg, pts, vels, 8, c_cap=c_cap,
+                                      halo=halo)
+        return gv, gw
+    return rasterize_to_grid(cfg, pts, vels, G3)
 
 
 def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
                          joint_verts_v=None, joint_faces_v=None,
-                         joint_traditional_v=None):
+                         joint_traditional_v=None, halo=None,
+                         use_pallas: bool = False):
     """Joint-band Dirichlet velocities (mpm_solver.py:661-802): scatter the
     prescribed joint velocities from the joint particles' positions, then
     overwrite grid velocity where the weight field is nonzero."""
     grid_vel, grid_w = mover_fields(cfg, state, joint_verts_v,
-                                    joint_faces_v, joint_traditional_v)
+                                    joint_faces_v, joint_traditional_v,
+                                    halo=halo, use_pallas=use_pallas)
     covered = grid_w > 1e-15
     v = grid_vel / jnp.maximum(grid_w, 1e-15)[:, None]
     return jnp.where(covered[:, None], v, grid_v_out)
@@ -441,12 +472,14 @@ def slab_coords(cfg: MPMStaticConfig, start, n: int, dtype):
 
 
 def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt,
-                  coords=None, cell_start=None):
+                  coords=None, cell_start=None, cell_ids=None):
     """Dispatch one grid-level BC by (static) collider type.
 
     ``coords``/``cell_start`` support running on a grid SLAB under
     shard_map (parallel.sharded): pass slab_coords(...) and the slab's
-    first flat cell index; default = the full replicated grid."""
+    first flat cell index; default = the full replicated grid.
+    ``coords``/``cell_ids`` likewise support the PACKED halo grid
+    (ops.column_transfer.halo_coords / halo_cell_ids)."""
     if coords is not None:
         idx, pos = coords
     else:
@@ -514,7 +547,10 @@ def apply_grid_bc(cfg: MPMStaticConfig, col, grid_v_out, time, dt,
 
     if isinstance(col, GridMaskCollider):
         mask_flat = col.mask.reshape(-1)
-        if cell_start is not None:
+        if cell_ids is not None:      # packed halo grid: gather by id
+            mask_flat = mask_flat[jnp.clip(cell_ids, 0,
+                                           mask_flat.shape[0] - 1)]
+        elif cell_start is not None:
             mask_flat = jax.lax.dynamic_slice_in_dim(
                 mask_flat, cell_start, grid_v_out.shape[0])
         masked = mask_flat >= 1
@@ -604,7 +640,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
          static_argnames=("column_k", "mesh_column_k", "column_c_cap",
                           "mesh_c_cap", "column_ztile",
                           "column_radius", "column_bf16", "column_pallas",
-                          "fused_grid", "fused_stress",
+                          "fused_grid", "fused_stress", "halo_cap",
                           "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
@@ -627,7 +663,9 @@ def p2g2p(cfg: MPMStaticConfig,
           column_pallas: bool = False,
           fused_grid: Optional[bool] = None,
           fused_stress: Optional[bool] = None,
+          halo_cap: Optional[int] = None,
           column_bins=None,
+          column_halo=None,
           vf_incidence: Optional[jnp.ndarray] = None,
           return_overflow: bool = False) -> MPMState:
     """One full MPM substep (MPMWARP.p2g2p, mpm_solver.py:229-536).
@@ -637,10 +675,22 @@ def p2g2p(cfg: MPMStaticConfig,
     column_k slots per (x, y) column; ``mesh_column_k`` likewise for the
     body-mesh rasterization.
 
+    ``halo_cap > 0`` additionally switches the GRID to the packed
+    halo-column ("sparse") layout: all grid fields live as (H, Gz, ch)
+    rows over the dilated active-column set, so every grid pass and
+    splat fold scales with the occupied columns instead of G^2 — the
+    dense grid never materializes (the reference allocates the full
+    G^3, mpm_data_structure.py:136; its 200^3/250^3 production configs
+    leave >95% of it untouched by the garment).  Requires column_k and
+    mesh_column_k when a mesh collider is registered; exact parity with
+    the dense path by construction (dropped contributions land only in
+    cells no particle reads).
+
     ``return_overflow=True`` additionally returns an int32 scalar
     counting particles/collider faces silently dropped by the static
-    column caps this substep — an overflowing scene loses mass, so
-    drivers check it at frame boundaries (MPMSolver.frame)."""
+    column caps this substep (including halo columns beyond halo_cap) —
+    an overflowing scene loses mass, so drivers check it at frame
+    boundaries (MPMSolver.frame)."""
     import dataclasses as _dc
 
     # pre-P2G particle operations
@@ -694,11 +744,17 @@ def p2g2p(cfg: MPMStaticConfig,
     # cost rival the plain layout) — kept as an opt-in experiment knob.
     ztile = (column_ztile and column_k > 0 and column_radius == 1
              and not column_pallas and column_bins is None)
+    sparse = halo_cap is not None and halo_cap > 0 and column_k > 0
+    assert not (sparse and ztile), "halo grid and z-tiles are exclusive"
+    halo = None
     if column_k > 0:
         from ..ops import column_transfer as _ct
         bins = (column_bins if column_bins is not None else
                 _ct.build_bins(state.x, cfg, column_k,
                                c_cap=column_c_cap, ztile=ztile))
+        if sparse:
+            halo = (column_halo if column_halo is not None else
+                    _ct.build_halo(bins, cfg, column_radius, halo_cap))
         sel = (state.selection == 0).astype(state.x.dtype)
         rd = model.rpic_damping
         c = state.C
@@ -711,7 +767,8 @@ def p2g2p(cfg: MPMStaticConfig,
             grid_v_in, grid_m, px_t = _pt.p2g_columns_fused(
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
-                radius=column_radius, bf16=column_bf16, return_px=True)
+                radius=column_radius, bf16=column_bf16, return_px=True,
+                halo=halo)
         else:
             geom = _ct.pack_geometry(
                 cfg, state.x, bins, radius=column_radius,
@@ -721,13 +778,15 @@ def p2g2p(cfg: MPMStaticConfig,
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
                 radius=column_radius, geom=geom, bf16=column_bf16,
-                ztile=ztile)
+                ztile=ztile, halo=halo)
     else:
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
 
     overflow = bins.overflow if bins is not None else jnp.zeros((),
                                                                 jnp.int32)
+    if halo is not None:
+        overflow = overflow + halo.overflow
     has_mover = colliders.use_particle_mover and (
         joint_verts_v is not None or joint_faces_v is not None
         or joint_traditional_v is not None)
@@ -744,7 +803,7 @@ def p2g2p(cfg: MPMStaticConfig,
             acc, gw, mesh_of = mesh_collider_fields(
                 cfg, colliders.mesh_colliders[0], mesh_x, mesh_v,
                 column_k=mesh_column_k, c_cap=mesh_c_cap,
-                use_pallas=column_pallas)
+                use_pallas=column_pallas, halo=halo)
             overflow = overflow + mesh_of
             mesh_fric = colliders.mesh_colliders[0].friction
         else:
@@ -752,44 +811,69 @@ def p2g2p(cfg: MPMStaticConfig,
             mesh_fric = jnp.float32(0.0)
         if has_mover:
             mv_, mw_ = mover_fields(cfg, state, joint_verts_v,
-                                    joint_faces_v, joint_traditional_v)
+                                    joint_faces_v, joint_traditional_v,
+                                    halo=halo, use_pallas=column_pallas)
         else:
             mv_ = mw_ = None
-        pipeline = _pgp.make_grid_pipeline(
-            cfg, colliders.grid_post, has_mesh=has_mesh,
-            has_mover=has_mover)
-        grid_v_out = pipeline(
-            grid_v_in, grid_m, acc, gw, mv_, mw_, model.gravity,
-            model.grid_v_damping_scale, mesh_fric, time, dt,
-            _pgp.pack_surface_params(colliders.grid_post))
+        if halo is not None:
+            from ..ops.column_transfer import halo_cell_ids
+            n_cells = halo.hcols.shape[0] * cfg.n_grid
+            pipeline = _pgp.make_grid_pipeline(
+                cfg, colliders.grid_post, has_mesh=has_mesh,
+                has_mover=has_mover, n_cells=n_cells)
+            grid_v_out = pipeline(
+                grid_v_in, grid_m, acc, gw, mv_, mw_, model.gravity,
+                model.grid_v_damping_scale, mesh_fric, time, dt,
+                _pgp.pack_surface_params(colliders.grid_post),
+                cell_ids=halo_cell_ids(halo, cfg.n_grid))
+        else:
+            pipeline = _pgp.make_grid_pipeline(
+                cfg, colliders.grid_post, has_mesh=has_mesh,
+                has_mover=has_mover)
+            grid_v_out = pipeline(
+                grid_v_in, grid_m, acc, gw, mv_, mw_, model.gravity,
+                model.grid_v_damping_scale, mesh_fric, time, dt,
+                _pgp.pack_surface_params(colliders.grid_post))
     else:
         grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
         for mc in colliders.mesh_colliders:
             grid_v_out, mesh_of = apply_mesh_collider(
                 cfg, mc, mesh_x, mesh_v, grid_v_out,
-                column_k=mesh_column_k, c_cap=mesh_c_cap)
+                column_k=mesh_column_k, c_cap=mesh_c_cap, halo=halo)
             overflow = overflow + mesh_of
 
         if has_mover:
             grid_v_out = apply_particle_mover(
                 cfg, state, grid_v_out, joint_verts_v, joint_faces_v,
-                joint_traditional_v)
+                joint_traditional_v, halo=halo,
+                use_pallas=column_pallas)
 
-        for col in colliders.grid_post:
-            grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time, dt)
+        if halo is not None:
+            from ..ops.column_transfer import halo_coords, halo_cell_ids
+            hco = halo_coords(halo, cfg, grid_v_out.dtype)
+            hids = halo_cell_ids(halo, cfg.n_grid)
+            for col in colliders.grid_post:
+                grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time,
+                                           dt, coords=hco,
+                                           cell_ids=hids)
+        else:
+            for col in colliders.grid_post:
+                grid_v_out = apply_grid_bc(cfg, col, grid_v_out, time,
+                                           dt)
 
     if column_k > 0 and column_pallas:
         from ..ops import pallas_transfer as _pt
         gathered = _pt.g2p_columns_fused(cfg, state, grid_v_out,
                                          column_k, bins=bins,
                                          radius=column_radius,
-                                         bf16=column_bf16, px_t=px_t)
+                                         bf16=column_bf16, px_t=px_t,
+                                         halo=halo)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,
                                    bins=bins, radius=column_radius,
                                    bf16=column_bf16,
-                                   geom=geom, ztile=ztile)
+                                   geom=geom, ztile=ztile, halo=halo)
     else:
         gathered = None
     x1, v1, c1, f_trial, d1 = g2p(cfg, state, model, grid_v_out, dt,

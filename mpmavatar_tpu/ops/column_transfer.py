@@ -342,6 +342,99 @@ def _xy_weights(px_xy, base_xy, cfg, col_xy, radius: int = 1):
     return stack(0), stack(1), stack(2), stack(3), stack(4)
 
 
+class HaloGrid(NamedTuple):
+    """Packed halo-column ("sparse") grid addressing.
+
+    ``hcols`` is the sorted unique DILATED active-column set: every
+    (x, y) grid column any pack row can scatter to or gather from this
+    substep.  Grid fields are stored packed as (H, Gz, ch) rows indexed
+    by halo id — the dense (G^2, Gz, ch) grid never materializes, so
+    every grid pass, splat fold and G2P gather scales with the occupied
+    columns instead of G^2.  Only cells a particle reads matter for the
+    final state, so collider/mover splats to non-halo columns are
+    physically irrelevant and dropped exactly.
+
+    Replaces the reference's dense grid allocation (MPMStateStruct.
+    init_grid, /root/reference/warp_mpm/mpm_data_structure.py:136) with
+    an active-block structure sized to the scene, not the domain."""
+    hcols: jnp.ndarray     # (H,) sorted unique flat xy ids; pad = G*G
+    htargets: jnp.ndarray  # (C, S) halo row per pack-row/shift; H = drop
+    n_h: jnp.ndarray       # () int32 live halo columns (<= H)
+    overflow: jnp.ndarray  # () int32 unique halo columns beyond the cap
+
+
+def map_cols_to_halo(hcols: jnp.ndarray, tcols: jnp.ndarray,
+                     sentinel: int):
+    """Map flat xy column ids -> halo rows (H = not in the halo set)."""
+    H = hcols.shape[0]
+    idx = jnp.searchsorted(hcols, tcols).astype(jnp.int32)
+    idxc = jnp.clip(idx, 0, H - 1)
+    ok = (hcols[idxc] == tcols) & (tcols < sentinel)
+    return jnp.where(ok, idxc, H)
+
+
+def build_halo(bins: ColumnBins, cfg: MPMStaticConfig, radius: int,
+               h_cap: int) -> HaloGrid:
+    """Sorted-unique dilation of the active column set (one small sort
+    over C*S candidate ids + searchsorted compaction; no scatter)."""
+    G = cfg.n_grid
+    sentinel = G * G
+    tcols = _shift_columns(bins, G, radius)              # (C, S)
+    cand = jax.lax.sort(tcols.reshape(-1))
+    flags = jnp.concatenate([jnp.ones((1,), bool),
+                             cand[1:] != cand[:-1]])
+    n_h = jnp.sum((flags & (cand < sentinel)).astype(jnp.int32))
+    seg_id = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    first_pos = jnp.searchsorted(seg_id, jnp.arange(h_cap)
+                                 ).astype(jnp.int32)
+    ar = jnp.arange(h_cap)
+    hcols = jnp.where(ar < n_h,
+                      cand[jnp.clip(first_pos, 0, cand.shape[0] - 1)],
+                      sentinel)
+    overflow = jnp.maximum(n_h - h_cap, 0)
+    htargets = map_cols_to_halo(hcols, tcols, sentinel)
+    return HaloGrid(hcols=hcols, htargets=htargets,
+                    n_h=jnp.minimum(n_h, h_cap), overflow=overflow)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def count_halo(x: jnp.ndarray, cfg: MPMStaticConfig, radius: int):
+    """Exact halo-column count for the current positions — the adaptive
+    halo-cap probe (once per frame on the host)."""
+    G = cfg.n_grid
+    col, sentinel = _bin_key(x, cfg, False)
+    cx, cy = col // G, col % G
+    cands = []
+    for (i, j) in shift_set(radius):
+        tx, ty = cx + i, cy + j
+        bad = (tx < 0) | (ty < 0) | (tx >= G) | (ty >= G)
+        cands.append(jnp.where(bad, sentinel, tx * G + ty))
+    cand = jax.lax.sort(jnp.concatenate(cands))
+    flags = jnp.concatenate([jnp.ones((1,), bool),
+                             cand[1:] != cand[:-1]])
+    return jnp.sum((flags & (cand < sentinel)).astype(jnp.int32))
+
+
+def halo_cell_ids(halo: HaloGrid, G: int):
+    """Dense flat cell id per packed cell, (H*Gz,) int32 (pad rows get
+    ids >= G^3 — they carry zero mass and are never gathered)."""
+    return (halo.hcols[:, None] * G
+            + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
+
+
+def halo_coords(halo: HaloGrid, cfg: MPMStaticConfig, dtype):
+    """(idx (H*Gz, 3) int32, pos (H*Gz, 3)) for the packed halo grid —
+    the sparse sibling of stepping._grid_coords for grid BCs."""
+    G = cfg.n_grid
+    hx = (halo.hcols // G).astype(jnp.int32)
+    hy = (halo.hcols % G).astype(jnp.int32)
+    z = jnp.arange(G, dtype=jnp.int32)
+    idx = jnp.stack([jnp.repeat(hx, G),
+                     jnp.repeat(hy, G),
+                     jnp.tile(z, halo.hcols.shape[0])], -1)
+    return idx, idx.astype(dtype) * cfg.dx
+
+
 def _shift_columns(bins: ColumnBins, G: int, radius: int = 1,
                    ztile: bool = False):
     """Target bin ids per shift; sentinel (= number of bins) for
@@ -365,11 +458,14 @@ def _shift_columns(bins: ColumnBins, G: int, radius: int = 1,
 
 
 def _scatter_columns(out, bins, G, n_ch, radius: int = 1,
-                     ztile: bool = False):
+                     ztile: bool = False, halo: HaloGrid = None):
     """Place (C, W, n_ch, S) shift results into a (G*G, G, n_ch) grid
     via S row scatters of C rows each (row-serial scatter cost is
     bounded by the row cap, not the particle count).  Duplicate rows of
     a chunked bin accumulate through the scatter-add.
+
+    With ``halo``, the fold lands in the PACKED (H, G, n_ch) halo grid
+    instead (targets precomputed in halo.htargets; H = drop).
 
     Without z tiles, W == Gz and rows are whole grid columns.  With
     z tiles, W == _ZW windows land in a (G*G*T, _ZW) fine grid and are
@@ -377,6 +473,14 @@ def _scatter_columns(out, bins, G, n_ch, radius: int = 1,
     so the 2-cell tail of each tile overlaps the head of the next and
     the fold adds them (z >= G spill from the last tile is sliced off,
     matching the no-hit drop of the full-Gz one-hot)."""
+    if halo is not None:
+        assert not ztile
+        H = halo.hcols.shape[0]
+        grid = jnp.zeros((H, out.shape[1], n_ch), out.dtype)
+        for s in range(halo.htargets.shape[1]):
+            grid = grid.at[halo.htargets[:, s]].add(out[..., s],
+                                                    mode="drop")
+        return grid
     targets = _shift_columns(bins, G, radius, ztile)
     T = n_ztiles(G) if ztile else 1
     # no sentinel row: the sentinel id == size is out-of-bounds and
@@ -398,12 +502,14 @@ def _scatter_columns(out, bins, G, n_ch, radius: int = 1,
 def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
                 K: int, bins: ColumnBins = None, c_eff=None,
                 radius: int = 1, geom: PackedGeometry = None,
-                bf16: bool = False, ztile: bool = False):
+                bf16: bool = False, ztile: bool = False,
+                halo: HaloGrid = None):
     """Column-packed P2G; exact replacement for stepping.p2g.
 
     ``stress`` and ``vertex_force`` must be pre-scaled by dt*selection;
     ``c_eff`` is the RPIC-damped affine field (defaults to state.C).
-    Returns (grid_v_in (G^3, 3), grid_m (G^3,))."""
+    Returns (grid_v_in (G^3, 3), grid_m (G^3,)); with ``halo`` the
+    grids are PACKED (H*Gz, .) halo rows instead."""
     E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
     P = cfg.n_particles
     G = cfg.n_grid
@@ -498,8 +604,9 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
         out = jnp.einsum("cmz,cmn->czn", zmat, coeff)     # (C, W, 4*S)
     out = out.reshape(C_cap, W, 4, S)
 
-    grid = _scatter_columns(out, bins, G, 4, radius, ztile)  # (G*G, Gz, 4)
-    grid = grid.reshape(G * G * G, 4)
+    grid = _scatter_columns(out, bins, G, 4, radius, ztile,
+                            halo=halo)  # (G*G | H, Gz, 4)
+    grid = grid.reshape(-1, 4)
     return grid[:, :3], grid[:, 3]
 
 
@@ -507,9 +614,10 @@ def p2g_columns(cfg: MPMStaticConfig, state: MPMState, stress, vertex_force,
 def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
                 bins: ColumnBins = None, radius: int = 1,
                 geom: PackedGeometry = None, bf16: bool = False,
-                ztile: bool = False):
+                ztile: bool = False, halo: HaloGrid = None):
     """Column-packed G2P gather; returns per-particle (new_v (P,3),
-    new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order."""
+    new_C (P,3,3), grad_v (P,3,3)) in ORIGINAL particle order.
+    With ``halo``, ``grid_v_out`` is the packed (H*Gz, 3) halo grid."""
     G = cfg.n_grid
     P = cfg.n_particles
     dtype = state.x.dtype
@@ -526,7 +634,7 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
                                  geom.dpx, geom.dpy)
     S = wxy.shape[-1]
 
-    grid = grid_v_out.reshape(G * G, G, 3)
+    grid = grid_v_out.reshape(-1, G, 3)
     if ztile:
         # fine view: row (colxy, tile) holds the tile's _ZW-cell window
         # (one bulk static-index gather; ~25% duplicated cells)
@@ -541,10 +649,13 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
     else:
         grid_rows = grid
         W = G
-        nrows = G * G
+        nrows = grid.shape[0]
     # clip-gather + mask instead of a sentinel row: the concat would
     # copy the whole grid just to add one zero row
-    tcols = _shift_columns(bins, G, radius, ztile)       # (C, S)
+    if halo is not None:
+        tcols = halo.htargets                            # (C, S)
+    else:
+        tcols = _shift_columns(bins, G, radius, ztile)   # (C, S)
     good = (tcols < nrows)[..., None, None].astype(dtype)
     gcols = grid_rows[jnp.clip(tcols, 0, nrows - 1)] * good
 
@@ -591,12 +702,17 @@ def g2p_columns(cfg: MPMStaticConfig, state: MPMState, grid_v_out, K: int,
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
-                  bounds_check: bool = True, c_cap: Optional[int] = None):
+                  bounds_check: bool = True, c_cap: Optional[int] = None,
+                  halo: HaloGrid = None):
     """Generic w-weighted splat: scatter-free replacement for
     core.stepping.rasterize_to_grid (mesh collider / particle mover).
     Returns (grid_vals (G^3, C), grid_w (G^3,), overflow ()) — overflow
     counts points dropped by the K-slot / column caps (dropped collider
-    faces distort contact normals, so callers must surface it)."""
+    faces distort contact normals, so callers must surface it).
+
+    With ``halo`` the splat lands in the PACKED (H*Gz, .) halo grid;
+    contributions to columns outside the halo set are dropped exactly
+    (no particle reads those cells) and do NOT count as overflow."""
     G = cfg.n_grid
     Cch = values.shape[-1]
     bins = build_bins(points, cfg, K, c_cap=c_cap)
@@ -625,8 +741,12 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
     out = jnp.einsum("ckz,ckn->czn", z0, coeff)
     out = out.reshape(C_cap, G, Cch + 1, S)
 
-    grid = _scatter_columns(out, bins, G, Cch + 1)
-    grid = grid.reshape(G * G * G, Cch + 1)
+    shalo = None
+    if halo is not None:
+        shalo = halo._replace(htargets=map_cols_to_halo(
+            halo.hcols, _shift_columns(bins, G, 1), G * G))
+    grid = _scatter_columns(out, bins, G, Cch + 1, halo=shalo)
+    grid = grid.reshape(-1, Cch + 1)
     return grid[:, :Cch], grid[:, Cch], bins.overflow
 
 

@@ -147,21 +147,31 @@ def _make_math(G, surfaces, has_bbox, bbox_pad, has_mesh, has_mover,
 
 
 def _grid_pipeline_pallas(math, gvr, gmr, maccr, mvvr, mvwr, scal,
-                          row0, block_rows, interpret):
+                          row0, block_rows, interpret, cellsr=None):
     """gvr (R,3,128), gmr (R,1,128), maccr (R,7,128), mvvr (R,3,128),
     mvwr (R,1,128) -> (R,3,128).  ``row0``: global row offset of this
-    slab (cell ids must stay absolute for the coordinate-based BCs)."""
+    slab (cell ids must stay absolute for the coordinate-based BCs).
+    ``cellsr`` (R,1,128) int32 overrides the iota-derived cell ids —
+    the PACKED halo-grid mode, where cell identity is data."""
     rows = gvr.shape[0]
     br = block_rows
+    packed = cellsr is not None
 
-    def kernel(gv_ref, gm_ref, macc_ref, mvv_ref, mvw_ref, scal_ref,
-               row0_ref, out_ref):
-        i = pl.program_id(0)
-        cell = ((row0_ref[0] + i * br
-                 + jax.lax.broadcasted_iota(jnp.int32,
-                                            (br, _LANES), 0))
-                * _LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (br, _LANES), 1))
+    def kernel(*refs):
+        if packed:
+            (gv_ref, gm_ref, macc_ref, mvv_ref, mvw_ref, cell_ref,
+             scal_ref, row0_ref, out_ref) = refs
+            cell = cell_ref[:, 0, :]
+        else:
+            (gv_ref, gm_ref, macc_ref, mvv_ref, mvw_ref, scal_ref,
+             row0_ref, out_ref) = refs
+            i = pl.program_id(0)
+            cell = ((row0_ref[0] + i * br
+                     + jax.lax.broadcasted_iota(jnp.int32,
+                                                (br, _LANES), 0))
+                    * _LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (br, _LANES),
+                                               1))
         gv = [gv_ref[:, c, :] for c in range(3)]
         gm = gm_ref[:, 0, :]
         macc = [macc_ref[:, c, :] for c in range(7)]
@@ -174,20 +184,26 @@ def _grid_pipeline_pallas(math, gvr, gmr, maccr, mvvr, mvwr, scal,
     bspec = lambda c: pl.BlockSpec((br, c, _LANES),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
+    in_specs = [bspec(3), bspec(1), bspec(7), bspec(3), bspec(1)]
+    operands = [gvr, gmr, maccr, mvvr, mvwr]
+    if packed:
+        in_specs.append(bspec(1))
+        operands.append(cellsr)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands += [scal, row0]
     # output as clean 2-D (3*rows, 128) channel blocks per grid step —
     # (R, 3, 128) results get stack-allocated in scoped vmem (S(1))
     # and OOM once several slab results coexist
     out = pl.pallas_call(
         kernel,
         grid=(rows // br,),
-        in_specs=[bspec(3), bspec(1), bspec(7), bspec(3), bspec(1),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3 * br, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3 * rows, _LANES), jnp.float32),
         interpret=interpret,
-    )(gvr, gmr, maccr, mvvr, mvwr, scal, row0)
+    )(*operands)
     # [slab-block: vx(br), vy(br), vz(br)] -> (rows, 3, 128)
     return out.reshape(rows // br, 3, br, _LANES).transpose(
         0, 2, 1, 3).reshape(rows, 3, _LANES)
@@ -195,16 +211,24 @@ def _grid_pipeline_pallas(math, gvr, gmr, maccr, mvvr, mvwr, scal,
 
 def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
                        has_mesh: bool, has_mover: bool,
-                       block_rows: int = 128, interpret=None):
+                       block_rows: int = 128, interpret=None,
+                       n_cells: int = None):
     """Build the fused pipeline fn(grid_v_in (N,3), grid_m (N,), mesh
     fields (N,6)/(N,), mover fields (N,3)/(N,), gravity, damping,
-    mesh_friction, time, dt, surf_params) -> grid_v_out (N,3).
+    mesh_friction, time, dt, surf_params[, cell_ids]) -> grid_v_out
+    (N,3).
 
     The collider STRUCTURE (types/order) is static; their parameters are
     packed into the scalar vector at call time, so time-varying BCs and
-    trained parameters trace correctly."""
+    trained parameters trace correctly.
+
+    ``n_cells`` switches to the PACKED halo-grid mode: N = n_cells
+    (H * Gz) instead of G^3 and the caller passes explicit dense cell
+    ids per packed cell (ops.column_transfer.halo_cell_ids) — cell
+    identity becomes data instead of the row iota."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    packed = n_cells is not None
     surfaces = []
     has_bbox = False
     bbox_pad = 3
@@ -217,7 +241,7 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
     surfaces = tuple(surfaces)
     math = _make_math(cfg.n_grid, surfaces, has_bbox, bbox_pad,
                       has_mesh, has_mover, float(cfg.dx))
-    n = cfg.n_grid ** 3
+    n = n_cells if packed else cfg.n_grid ** 3
     # pad the flat cell axis so every slab is a whole number of
     # sublane-aligned (128-row, 128-lane) blocks: G need not be
     # lane-divisible (200^3 rows = 62500, 250^3 isn't even a multiple
@@ -232,29 +256,38 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
     assert br % 8 == 0 or br == rows, (rows, br)
 
     @jax.custom_vjp
-    def run(gvr, gmr, maccr, mvvr, mvwr, scal, row0):
+    def run(gvr, gmr, maccr, mvvr, mvwr, scal, row0, cellsr):
         return _grid_pipeline_pallas(math, gvr, gmr, maccr, mvvr, mvwr,
-                                     scal, row0, br, interpret)
+                                     scal, row0, br, interpret,
+                                     cellsr=cellsr if packed else None)
 
-    def _math_full(gvr, gmr, maccr, mvvr, mvwr, scal, row0):
+    def _math_full(gvr, gmr, maccr, mvvr, mvwr, scal, row0, cellsr):
         r = gvr.shape[0]
-        cell = ((row0[0]
-                 + jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0))
-                * _LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1))
+        if packed:
+            cell = cellsr[:, 0, :]
+        else:
+            cell = ((row0[0]
+                     + jax.lax.broadcasted_iota(jnp.int32, (r, _LANES),
+                                                0))
+                    * _LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (r, _LANES),
+                                               1))
         v = math([gvr[:, c, :] for c in range(3)], gmr[:, 0, :],
                  [maccr[:, c, :] for c in range(7)],
                  [mvvr[:, c, :] for c in range(3)], mvwr[:, 0, :],
                  cell, scal)
         return jnp.stack(v, axis=1)
 
-    def fwd(gvr, gmr, maccr, mvvr, mvwr, scal, row0):
-        return run(gvr, gmr, maccr, mvvr, mvwr, scal, row0), (
-            gvr, gmr, maccr, mvvr, mvwr, scal, row0)
+    def fwd(gvr, gmr, maccr, mvvr, mvwr, scal, row0, cellsr):
+        return run(gvr, gmr, maccr, mvvr, mvwr, scal, row0, cellsr), (
+            gvr, gmr, maccr, mvvr, mvwr, scal, row0, cellsr)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(_math_full, *res)
-        return vjp(g)
+        _, vjp = jax.vjp(
+            lambda gvr, gmr, maccr, mvvr, mvwr, scal: _math_full(
+                gvr, gmr, maccr, mvvr, mvwr, scal, res[6], res[7]),
+            *res[:6])
+        return vjp(g) + (None, None)
 
     run.defvjp(fwd, bwd)
 
@@ -273,7 +306,8 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
         return arr.reshape(rows, 1, _LANES)
 
     def pipeline(grid_v_in, grid_m, mesh_acc, mesh_gw, mover_v, mover_w,
-                 gravity, damping, mesh_friction, time, dt, surf_params):
+                 gravity, damping, mesh_friction, time, dt, surf_params,
+                 cell_ids=None):
         gvr = to_rows(grid_v_in, 3)
         gmr = to_rows1(grid_m)
         if mesh_acc is not None:
@@ -285,6 +319,11 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
                 else jnp.zeros((rows, 3, _LANES), jnp.float32))
         mvwr = (to_rows1(mover_w) if mover_w is not None
                 else jnp.zeros((rows, 1, _LANES), jnp.float32))
+        if packed:
+            assert cell_ids is not None
+            cellsr = to_rows1(cell_ids)        # pad cells: id 0, mass 0
+        else:
+            cellsr = jnp.zeros((1, 1, _LANES), jnp.int32)
         scal = jnp.concatenate(
             [jnp.asarray(gravity, jnp.float32).reshape(3),
              jnp.asarray(damping, jnp.float32).reshape(1),
@@ -299,12 +338,13 @@ def make_grid_pipeline(cfg: MPMStaticConfig, grid_post,
         slab = 1024
         if rows <= slab:
             out = run(gvr, gmr, maccr, mvvr, mvwr, scal,
-                      jnp.zeros((1,), jnp.int32))
+                      jnp.zeros((1,), jnp.int32), cellsr)
         else:
             outs = [run(gvr[s:s + slab], gmr[s:s + slab],
                         maccr[s:s + slab], mvvr[s:s + slab],
                         mvwr[s:s + slab], scal,
-                        jnp.full((1,), s, jnp.int32))
+                        jnp.full((1,), s, jnp.int32),
+                        cellsr[s:s + slab] if packed else cellsr)
                     for s in range(0, rows, slab)]
             out = jnp.concatenate(outs, axis=0)        # (rows, 3, 128)
         return out.transpose(0, 2, 1).reshape(n_pad, 3)[:n]

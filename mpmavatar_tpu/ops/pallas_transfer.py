@@ -354,7 +354,7 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
                       block_c: int = 8, interpret=None, px_t=None,
-                      return_px: bool = False):
+                      return_px: bool = False, halo=None):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
@@ -407,7 +407,8 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     S = len(shifts)
     # (C, 4S, G) lane-aligned kernel layout -> (C, G, 4, S) scatter layout
     out = out.reshape(pid.shape[0], 4, S, G).transpose(0, 3, 1, 2)
-    grid = _scatter_columns(out, bins, G, 4, radius).reshape(G * G * G, 4)
+    grid = _scatter_columns(out, bins, G, 4, radius,
+                            halo=halo).reshape(-1, 4)
     if return_px:
         return grid[:, :3], grid[:, 3], px_t
     return grid[:, :3], grid[:, 3]
@@ -416,9 +417,10 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
 def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
                       bins: ColumnBins, radius: int = 1,
                       bf16: bool = False, block_c: int = 8,
-                      interpret=None, px_t=None):
+                      interpret=None, px_t=None, halo=None):
     """Fused-Pallas g2p_columns: returns (new_v, new_C, grad_v) in
-    original particle order (same contract as column_transfer)."""
+    original particle order (same contract as column_transfer).  With
+    ``halo``, ``grid_v_out`` is the packed (H*Gz, 3) halo grid."""
     if interpret is None:
         interpret = _interpret_default()
     block_c = _pick_block(bins.pid.shape[0], block_c)
@@ -429,12 +431,16 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     shifts = tuple(shift_set(radius))
     S = len(shifts)
 
-    grid = grid_v_out.reshape(G * G, G, 3)
+    grid = grid_v_out.reshape(-1, G, 3)
+    nrows = grid.shape[0]
     # clip-gather + mask instead of a sentinel row (the concat copies
     # the whole grid to add one zero row)
-    tcols = _shift_columns(bins, G, radius)               # (C, S)
-    good = (tcols < G * G)[..., None, None].astype(dtype)
-    gcols = grid[jnp.clip(tcols, 0, G * G - 1)] * good    # (C, S, Gz, 3)
+    if halo is not None:
+        tcols = halo.htargets                             # (C, S)
+    else:
+        tcols = _shift_columns(bins, G, radius)           # (C, S)
+    good = (tcols < nrows)[..., None, None].astype(dtype)
+    gcols = grid[jnp.clip(tcols, 0, nrows - 1)] * good    # (C, S, Gz, 3)
     # channel-major rows (n = ch*S + s), grid z on lanes
     g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, G)
 
@@ -503,7 +509,7 @@ def _splat_math(px_t, vals_t, colxy, inv_dx, G, shifts):
 
 def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
                         bounds_check: bool = True, c_cap=None,
-                        block_c: int = 8, interpret=None):
+                        block_c: int = 8, interpret=None, halo=None):
     """Fused-Pallas sibling of column_transfer.splat_columns (same
     contract): returns (grid_vals (G^3, CH), grid_w (G^3,), overflow).
 
@@ -564,6 +570,11 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
         interpret=interpret,
     )(px_t, vals_t, colxy_f)
     out = out.reshape(C_cap, CH, S, G).transpose(0, 3, 1, 2)
-    grid = _scatter_columns(out, bins, G, CH)
-    grid = grid.reshape(G * G * G, CH)
+    shalo = None
+    if halo is not None:
+        from .column_transfer import map_cols_to_halo
+        shalo = halo._replace(htargets=map_cols_to_halo(
+            halo.hcols, _shift_columns(bins, G, 1), G * G))
+    grid = _scatter_columns(out, bins, G, CH, halo=shalo)
+    grid = grid.reshape(-1, CH)
     return grid[:, :Cch], grid[:, Cch], bins.overflow

@@ -125,13 +125,16 @@ def _pad_eye(f, m):
     return jnp.concatenate([f, eye], axis=0)
 
 
-def _column_local_ctx(cfg, st, column_k, column_c_cap):
+def _column_local_ctx(cfg, st, column_k, column_c_cap,
+                      pallas: bool = False):
     """Bins + packed geometry for the LOCAL particle shard.
 
     Builds a minimal local MPMState view (only the fields the column
     transfers read) and reuses ops.column_transfer verbatim — the fast
     path runs unchanged under shard_map because it is pure and
-    static-shaped (VERDICT r1 item 7)."""
+    static-shaped (VERDICT r1 item 7).  ``pallas=True`` swaps in the
+    fused Mosaic kernels (ops.pallas_transfer) — the single-chip
+    default path, now also the multi-chip one (VERDICT r2 item 5)."""
     from ..core.types import MPMState
     from ..ops import column_transfer as ct
 
@@ -153,7 +156,11 @@ def _column_local_ctx(cfg, st, column_k, column_c_cap):
         selection=jnp.zeros((x.shape[0],), jnp.int32),
         faces=st.faces, yield_stress=jnp.zeros_like(st.vol_e))
     bins = ct.build_bins(x, cfg_loc, column_k, c_cap=column_c_cap)
-    geom = ct.pack_geometry(cfg_loc, x, bins)
+    if pallas:
+        from ..ops import pallas_transfer as pt
+        geom = ("pallas", pt.pack_positions(state_loc, bins))
+    else:
+        geom = ct.pack_geometry(cfg_loc, x, bins)
     return cfg_loc, state_loc, bins, geom
 
 
@@ -164,8 +171,15 @@ def _column_p2g_local(ctx, stress_e, st_t_raw, my_vforce, dt, column_k):
     t_loc = cfg_loc.n_traditional
     stress = jnp.concatenate(
         [dt * stress_e] + ([dt * st_t_raw] if t_loc else []), 0)
-    gv, gm = ct.p2g_columns(cfg_loc, state_loc, stress, dt * my_vforce,
-                            column_k, bins=bins, geom=geom)
+    if isinstance(geom, tuple) and geom[0] == "pallas":
+        from ..ops import pallas_transfer as pt
+        gv, gm = pt.p2g_columns_fused(cfg_loc, state_loc, stress,
+                                      dt * my_vforce, column_k,
+                                      bins=bins, px_t=geom[1])
+    else:
+        gv, gm = ct.p2g_columns(cfg_loc, state_loc, stress,
+                                dt * my_vforce, column_k, bins=bins,
+                                geom=geom)
     return gv, gm, bins.overflow
 
 
@@ -174,8 +188,15 @@ def _column_g2p_local(ctx, grid_v_full, column_k):
     from ..ops import column_transfer as ct
     cfg_loc, state_loc, bins, geom = ctx
     e_loc, t_loc = cfg_loc.n_elements, cfg_loc.n_traditional
-    new_v, new_c, grad = ct.g2p_columns(cfg_loc, state_loc, grid_v_full,
-                                        column_k, bins=bins, geom=geom)
+    if isinstance(geom, tuple) and geom[0] == "pallas":
+        from ..ops import pallas_transfer as pt
+        new_v, new_c, grad = pt.g2p_columns_fused(
+            cfg_loc, state_loc, grid_v_full, column_k, bins=bins,
+            px_t=geom[1])
+    else:
+        new_v, new_c, grad = ct.g2p_columns(cfg_loc, state_loc,
+                                            grid_v_full, column_k,
+                                            bins=bins, geom=geom)
     sl_e, sl_t, sl_v = (slice(0, e_loc), slice(e_loc, e_loc + t_loc),
                         slice(e_loc + t_loc, None))
     return ((new_v[sl_e], new_c[sl_e], grad[sl_e]),
@@ -188,7 +209,8 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
                          joint_verts_v, num_joint_v: int, n_vertices: int,
                          axis: str, grid_post=(), time=0.0,
                          column_k: int = 0, column_c_cap=None,
-                         joint_faces_v=None, num_joint_f: int = 0):
+                         joint_faces_v=None, num_joint_f: int = 0,
+                         column_pallas: bool = False):
     """Device-local body of one substep; runs under shard_map.
 
     Grid collectives are slab-decomposed: P2G partials are
@@ -275,7 +297,8 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
     col_ctx = None
     if column_k > 0:
         # column-packed MXU fast path on the local shard
-        col_ctx = _column_local_ctx(cfg, st, column_k, column_c_cap)
+        col_ctx = _column_local_ctx(cfg, st, column_k, column_c_cap,
+                                    pallas=column_pallas)
         grid_v_in, grid_m, overflow = _column_p2g_local(
             col_ctx, stress_e, st_t_raw, my_vforce, dt, column_k)
     else:
@@ -446,7 +469,8 @@ def _local_cloth_substep(cfg: MPMStaticConfig, st: ShardedClothState,
 def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
                                num_substeps: int, dt: float,
                                num_joint_v: int = 0, axis: str = "dp",
-                               column_k: int = 0, column_c_cap=None):
+                               column_k: int = 0, column_c_cap=None,
+                               column_pallas: bool = False):
     """Build the jitted multi-chip material-training step.
 
     Returns fn(st: ShardedClothState, um: UniformModel, mesh_x (F,3,3)
@@ -465,7 +489,8 @@ def make_sharded_material_step(cfg: MPMStaticConfig, device_mesh: Mesh,
             stc, st_of = _local_cloth_substep(
                 cfg, stc, um, dt, mx, mesh_v, joint_verts_v,
                 num_joint_v, nv, axis, column_k=column_k,
-                column_c_cap=column_c_cap)
+                column_c_cap=column_c_cap,
+                column_pallas=column_pallas)
             return (stc, jnp.maximum(of, st_of)), None
 
         (st, of), _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False),
@@ -506,7 +531,8 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
                        with_joints: bool = False,
                        column_k: int = 0, column_c_cap=None,
                        return_overflow: bool = False,
-                       num_joint_f: int = 0, model_spec=None):
+                       num_joint_f: int = 0, model_spec=None,
+                       column_pallas: bool = False):
     """Jitted multi-chip forward frame over mixed cloth+sand scenes with
     grid BCs — the SPMD counterpart of MPMSolver.frame.
 
@@ -535,7 +561,8 @@ def make_sharded_frame(cfg: MPMStaticConfig, device_mesh: Mesh,
                 cfg, stc, um, dt, mx, mesh_v, joint_verts_v,
                 num_joint_v, nv, axis, grid_post=grid_post, time=t,
                 column_k=column_k, column_c_cap=column_c_cap,
-                joint_faces_v=joint_faces_v, num_joint_f=num_joint_f)
+                joint_faces_v=joint_faces_v, num_joint_f=num_joint_f,
+                column_pallas=column_pallas)
             return (stc, t + dt, jnp.maximum(of, st_of)), None
 
         (st, _, of), _ = jax.lax.scan(

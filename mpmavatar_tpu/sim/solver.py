@@ -51,17 +51,24 @@ class MPMSolver:
                  rebin_every: int = 1, column_bf16: bool = False,
                  rebin_auto: bool = False, column_pallas=None,
                  column_ztile: bool = False,
-                 fused_grid=None, fused_stress=None):
+                 fused_grid=None, fused_stress=None,
+                 halo_cap=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
-        vertex-force path alongside it."""
+        vertex-force path alongside it.
+
+        ``halo_cap > 0`` enables the PACKED halo ("sparse") grid: grid
+        fields live only on the dilated active-column set, so grid
+        passes scale with the scene, not G^2 (adapt per frame with
+        adapt_row_cap / size once with calibrate_caps)."""
         self.cfg = cfg
         self.colliders = ColliderSet()
         self.column_k = column_k
         self.mesh_column_k = mesh_column_k
         self.mesh_c_cap = mesh_c_cap
         self.column_c_cap = column_c_cap
+        self.halo_cap = halo_cap
         self.column_radius = column_radius
         self.rebin_every = rebin_every
         self.rebin_auto = rebin_auto
@@ -250,6 +257,7 @@ class MPMSolver:
                               column_ztile=self.column_ztile,
                               fused_grid=self.fused_grid,
                               fused_stress=self.fused_stress,
+                              halo_cap=self.halo_cap,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -276,24 +284,32 @@ class MPMSolver:
         # (radius-1) cells of its binned column; rebuild at 60% of that.
         drift_lim = 0.6 * max(self.column_radius - 1, 0) * cfg.dx
 
+        sparse = (self.halo_cap or 0) > 0 and self.column_k > 0
+
         def _rebuild(x):
             from ..ops import column_transfer as _ct
-            return _ct.build_bins(
+            bins = _ct.build_bins(
                 x, cfg, self.column_k, c_cap=self.column_c_cap)
+            if sparse:
+                return bins, _ct.build_halo(bins, cfg,
+                                            self.column_radius,
+                                            self.halo_cap)
+            return bins, None
 
         def body(carry, s):
             if amortized:
-                st, t, of, bins, x_ref = carry
+                st, t, of, bh, x_ref = carry
                 if self.rebin_auto:
                     drift = jnp.max(jnp.abs(st.x[:, :2] - x_ref[:, :2]))
                     need = drift > drift_lim
                 else:
                     need = s % self.rebin_every == 0
-                bins = jax.lax.cond(need, _rebuild, lambda x: bins, st.x)
+                bh = jax.lax.cond(need, _rebuild, lambda x: bh, st.x)
+                bins, halo = bh
                 x_ref = jnp.where(need, st.x, x_ref)
             else:
                 st, t, of = carry
-                bins = None
+                bins = halo = None
             kw = {}
             if mesh_x is not None:
                 kw["mesh_x"] = mesh_x + (s.astype(jnp.float32) * dt) * mesh_v
@@ -314,21 +330,23 @@ class MPMSolver:
                                        column_ztile=self.column_ztile,
                                        fused_grid=self.fused_grid,
                                        fused_stress=self.fused_stress,
+                                       halo_cap=self.halo_cap,
                                        column_bins=bins,
+                                       column_halo=halo,
                                        vf_incidence=self.vf_incidence,
                                        return_overflow=True, **kw)
             of = jnp.maximum(of, st_of)
             if amortized:
-                return (st, t + dt, of, bins, x_ref), None
+                return (st, t + dt, of, (bins, halo), x_ref), None
             return (st, t + dt, of), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         of0 = jnp.zeros((), jnp.int32)
         if amortized:
-            bins0 = _rebuild(state.x)
+            bh0 = _rebuild(state.x)
             (state, time, overflow, _, _), _ = jax.lax.scan(
-                body, (state, jnp.float32(time0), of0, bins0, state.x),
+                body, (state, jnp.float32(time0), of0, bh0, state.x),
                 jnp.arange(num_substeps))
         else:
             (state, time, overflow), _ = jax.lax.scan(
@@ -340,6 +358,16 @@ class MPMSolver:
 
     _CAP_LADDER = (1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
                    24576, 32768)
+    _HALO_LADDER = (1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+                    16384, 24576, 32768, 49152, 65536)
+
+    def _pick_halo_cap(self, n_halo: int, headroom: float):
+        g2 = self.cfg.n_grid * self.cfg.n_grid
+        want = min(int(n_halo * headroom), g2)
+        for cap in self._HALO_LADDER:
+            if cap >= want:
+                return min(cap, g2)
+        return min(self._HALO_LADDER[-1], g2)
 
     def adapt_row_cap(self, state: MPMState, headroom: float = 1.35):
         """Adaptive row cap: size ``column_c_cap`` to the CURRENT
@@ -348,7 +376,8 @@ class MPMSolver:
         a flat cloth (few occupied columns) runs ~2-3x cheaper than the
         worst-case static cap; each ladder value compiles once (the
         in-frame overflow check still fails loud if drift outruns the
-        headroom).  Returns the chosen cap."""
+        headroom).  When the halo grid is enabled, ``halo_cap`` adapts
+        from its own ladder in the same probe.  Returns the chosen cap."""
         if self.column_k <= 0:
             return self.column_c_cap
         from ..ops import column_transfer as _ct
@@ -356,6 +385,10 @@ class MPMSolver:
                  and not self.column_pallas)
         rows = int(_ct.count_rows(state.x, self.cfg, self.column_k,
                                   ztile))
+        if (self.halo_cap or 0) > 0:
+            n_halo = int(_ct.count_halo(state.x, self.cfg,
+                                        self.column_radius))
+            self.halo_cap = self._pick_halo_cap(n_halo, headroom)
         want = int(rows * headroom)
         for cap in self._CAP_LADDER:
             if cap >= want:
@@ -386,10 +419,16 @@ class MPMSolver:
                  and not self.column_pallas)
         if xs is not None and self.column_k > 0:
             rows = 0
+            n_halo = 0
             xs = list(xs)
             for x in xs[::max(1, sample_every)]:
                 rows = max(rows, int(_ct.count_rows(
                     jnp.asarray(x), self.cfg, self.column_k, ztile)))
+                if (self.halo_cap or 0) > 0:
+                    n_halo = max(n_halo, int(_ct.count_halo(
+                        jnp.asarray(x), self.cfg, self.column_radius)))
+            if (self.halo_cap or 0) > 0:
+                self.halo_cap = self._pick_halo_cap(n_halo, headroom)
             want = int(rows * headroom)
             for cap in self._CAP_LADDER:
                 if cap >= want:

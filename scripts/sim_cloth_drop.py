@@ -35,6 +35,9 @@ def main():
                         help="collider-splat slots per column; must cover "
                         "the max collider faces per (x,y) cell — the frame "
                         "loop raises on overflow")
+    parser.add_argument("--halo_cap", type=int, default=0,
+                        help="packed halo (sparse) grid column cap; 0 = "
+                        "dense grid")
     args = parser.parse_args()
 
     verts, faces = build_cloth(args.nx, args.nx, y0=1.3, extent=0.8)
@@ -55,7 +58,8 @@ def main():
         body_v, body_f = build_body_sphere(center=(1.0, 0.8, 1.0), r=0.3)
     solver = MPMSolver(cfg, column_k=args.column_k,
                        mesh_column_k=args.mesh_column_k, faces=faces,
-                       column_pallas=args.pallas)
+                       column_pallas=args.pallas,
+                       halo_cap=(args.halo_cap or None))
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
 

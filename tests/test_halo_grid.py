@@ -1,0 +1,219 @@
+"""Packed halo ("sparse") grid vs the dense grid path.
+
+The halo grid stores all grid fields only on the dilated active-column
+set (ops.column_transfer.HaloGrid); particle trajectories must match the
+dense path EXACTLY because dropped contributions land only in cells no
+particle reads.  Covers both transfer backends (XLA column /
+fused-Pallas interpret), both radii, mesh collider + mover + grid BCs,
+gradients, and the fail-loud halo-cap overflow.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_substep_golden import make_cloth, build_pair
+
+from mpmavatar_tpu.ops import column_transfer as ct
+from mpmavatar_tpu.sim import MPMSolver
+
+
+def _scene(nx=10, grid=48):
+    from bench import build_body_sphere
+    verts, faces = make_cloth(nx=nx, ny=nx, y0=1.05, extent=0.45)
+    _, cfg, state, model = build_pair(verts, faces, E=400.0, n_grid=grid)
+    bv, bf = build_body_sphere(n_theta=10, n_phi=10,
+                               center=(1.0, 0.85, 1.0), r=0.2)
+    return cfg, state, model, faces, jnp.asarray(bv), bf
+
+
+def _run(cfg, state, model, faces, bv, bf, n_frames=3, substeps=6,
+         **solver_kw):
+    s = MPMSolver(cfg, column_k=16, mesh_column_k=16, column_c_cap=512,
+                  faces=faces, **solver_kw)
+    s.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
+    s.add_bounding_box()
+    s.add_mesh_collider(bf, friction=0.5)
+    s.add_particle_mover()
+    mv = jnp.full_like(bv, 0.05)
+    jv = jnp.zeros((cfg.num_joint_v, 3), jnp.float32)
+    st, t = state, 0.0
+    of_max = 0
+    for _ in range(n_frames):
+        st, t, of = s.frame(st, model, 2e-4, substeps, t, mesh_x=bv,
+                            mesh_v=mv, joint_verts_v=jv,
+                            return_overflow=True)
+        of_max = max(of_max, int(of))
+    return st, of_max
+
+
+def test_build_halo_exact_dilation():
+    """hcols is exactly the sorted unique shifted active-column set and
+    map_cols_to_halo inverts it."""
+    cfg, state, model, *_ = _scene(nx=6, grid=32)
+    G = cfg.n_grid
+    bins = ct.build_bins(state.x, cfg, 16, c_cap=256)
+    halo = ct.build_halo(bins, cfg, radius=1, h_cap=512)
+    assert int(halo.overflow) == 0
+
+    # reference dilation in numpy
+    cols = np.unique(np.asarray(bins.active_col))
+    cols = cols[cols < G * G]
+    want = set()
+    for c in cols:
+        cx, cy = c // G, c % G
+        for i in range(0, 3):
+            for j in range(0, 3):
+                tx, ty = cx + i, cy + j
+                if 0 <= tx < G and 0 <= ty < G:
+                    want.add(tx * G + ty)
+    got = np.asarray(halo.hcols)
+    n_h = int(halo.n_h)
+    assert set(got[:n_h].tolist()) == want
+    assert (got[n_h:] == G * G).all()
+    assert (np.diff(got[:n_h]) > 0).all()          # sorted unique
+
+    # htargets: every valid target maps back to its own column id
+    t = np.asarray(ct._shift_columns(bins, G, 1))
+    ht = np.asarray(halo.htargets)
+    H = got.shape[0]
+    ok = ht < H
+    assert (got[ht[ok]] == t[ok]).all()
+    assert (t[~ok] >= G * G).all()                  # only sentinels drop
+
+    # the probe agrees with the builder
+    assert int(ct.count_halo(state.x, cfg, 1)) == n_h
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_halo_full_substep_parity_xla(radius):
+    cfg, state, model, faces, bv, bf = _scene()
+    kw = dict(column_radius=radius, rebin_auto=radius > 1)
+    ref, of0 = _run(cfg, state, model, faces, bv, bf, **kw)
+    out, of1 = _run(cfg, state, model, faces, bv, bf, halo_cap=1024,
+                    **kw)
+    assert of0 == 0 and of1 == 0
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.d), np.asarray(ref.d),
+                               atol=1e-6)
+
+
+def test_halo_full_substep_parity_pallas():
+    """Fused-Pallas transfers + fused grid pipeline on the packed grid
+    (interpret mode) vs the dense Pallas path."""
+    cfg, state, model, faces, bv, bf = _scene(nx=8, grid=32)
+    kw = dict(column_pallas=True)
+    ref, of0 = _run(cfg, state, model, faces, bv, bf, n_frames=2,
+                    substeps=5, **kw)
+    out, of1 = _run(cfg, state, model, faces, bv, bf, n_frames=2,
+                    substeps=5, halo_cap=1024, **kw)
+    assert of0 == 0 and of1 == 0
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               atol=2e-5)
+
+
+def test_halo_with_sand_and_fallback_bcs():
+    """Mixed cloth+sand scene (traditional block) + a grid BC the fused
+    pipeline does NOT support, forcing the sparse XLA fallback path
+    (packed apply_grid_bc / mask gather)."""
+    from mpmavatar_tpu.core import types
+    verts, faces = make_cloth(nx=8, ny=8, y0=1.1, extent=0.4)
+    n_t = 300
+    rng = np.random.default_rng(0)
+    sand = rng.uniform(0.8, 1.2, (n_t, 3)).astype(np.float32)
+    cfg = types.MPMStaticConfig(n_elements=len(faces), n_traditional=n_t,
+                                n_vertices=len(verts), n_grid=32,
+                                grid_lim=2.0, material=2)
+    d, r_inv, evol, vvol = types.cloth_geometry(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces))
+    x = jnp.concatenate([jnp.asarray(verts, jnp.float32)[faces].mean(1),
+                         jnp.asarray(sand),
+                         jnp.asarray(verts, jnp.float32)], 0)
+    vol = jnp.concatenate([evol, jnp.full((n_t,), 1e-6), vvol], 0)
+    state = types.make_state(cfg, x, faces=faces, d=d, R_inv=r_inv,
+                             vol=vol)
+    model = types.make_model(cfg.n_particles, E=400.0)
+
+    mask = np.zeros((32, 32, 32), np.int32)
+    mask[:, :3, :] = 1   # floor band via grid mask (unsupported by the
+    #                      fused pipeline -> exercises the sparse fallback)
+
+    def run(halo_cap):
+        s = MPMSolver(cfg, column_k=16, mesh_column_k=16,
+                      column_c_cap=1024, faces=faces, halo_cap=halo_cap)
+        s.enforce_grid_velocity_by_mask(jnp.asarray(mask))
+        s.add_surface_collider([0.0, 0.05, 0.0], [0.0, 1.0, 0.0],
+                               surface="slip")
+        st, _, of = s.frame(state, model, 2e-4, 8, 0.0,
+                            return_overflow=True)
+        assert int(of) == 0
+        return st
+
+    ref = run(None)
+    out = run(1024)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.F_trial),
+                               np.asarray(ref.F_trial), atol=1e-5)
+
+
+def test_halo_gradient_parity():
+    """jax.grad through the sparse rollout matches the dense path."""
+    verts, faces = make_cloth(nx=7, ny=7, y0=1.1, extent=0.4)
+    _, cfg, state, model = build_pair(verts, faces, E=500.0, n_grid=32)
+
+    def loss_with(halo_cap):
+        s = MPMSolver(cfg, column_k=16, column_c_cap=256, faces=faces,
+                      halo_cap=halo_cap)
+
+        def f(e_scalar):
+            from mpmavatar_tpu.core.types import finalize_mu_lam
+            m = finalize_mu_lam(dataclasses.replace(
+                model, E=jnp.full_like(model.E, e_scalar)))
+            st, _ = s.frame(state, m, 1e-4, 5, 0.0)
+            return jnp.sum(st.x ** 2)
+        return jax.value_and_grad(f)(jnp.float32(500.0))
+
+    l_ref, g_ref = loss_with(None)
+    l_sp, g_sp = loss_with(512)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(g_sp), float(g_ref), rtol=1e-4)
+
+
+def test_halo_overflow_fails_loud():
+    """A halo cap below the live dilated-column count must surface in
+    the overflow telemetry, not silently drop grid mass."""
+    cfg, state, model, faces, bv, bf = _scene(nx=10, grid=48)
+    with pytest.raises(RuntimeError, match="overflow"):
+        s = MPMSolver(cfg, column_k=16, mesh_column_k=16,
+                      column_c_cap=512, faces=faces, halo_cap=16)
+        s.add_mesh_collider(bf, friction=0.5)
+        st, _, of = s.frame(state, model, 2e-4, 2, 0.0, mesh_x=bv,
+                            mesh_v=jnp.zeros_like(bv),
+                            return_overflow=True)
+        s.check_overflow(of, "halo test")
+
+
+def test_halo_cap_adaptation():
+    """adapt_row_cap sizes halo_cap from the live distribution and
+    calibrate_caps from a trajectory."""
+    cfg, state, model, faces, bv, bf = _scene(nx=10, grid=48)
+    s = MPMSolver(cfg, column_k=16, column_c_cap=512, faces=faces,
+                  halo_cap=1024)
+    s.adapt_row_cap(state)
+    n_halo = int(ct.count_halo(state.x, cfg, 1))
+    assert s.halo_cap >= n_halo
+    assert s.halo_cap <= cfg.n_grid * cfg.n_grid
+
+    s2 = MPMSolver(cfg, column_k=16, column_c_cap=512, faces=faces,
+                   halo_cap=1024)
+    s2.calibrate_caps(xs=[np.asarray(state.x)], sample_every=1)
+    assert s2.halo_cap >= n_halo
