@@ -19,25 +19,56 @@ from test_substep_golden import make_cloth
 from mpmavatar_tpu.train.material import (MaterialTrainer,
                                           MaterialTrainerConfig)
 
-TRUTH = {"D": 1.6, "E": 2.0, "H": 1.08}
-N_FRAMES = 3
+TRUTH = {"D": 1.8, "E": 1.0, "H": 1.08}
+N_FRAMES = 5
+
+
+def _hanging_cloth(nx=9, ny=9, width=0.5, height=0.5, tilt=0.35):
+    """VERTICAL tilted cloth sheet, TOP row first (pinned prefix =
+    split_idx convention).  A vertical sheet is essential: H scales the
+    rest shape's y, and for a flat horizontal cloth (constant y) that is
+    a pure translation with exactly zero effect on the rest metric —
+    H would be structurally unidentifiable."""
+    xs = np.linspace(1.0 - width / 2, 1.0 + width / 2, ny)
+    verts = np.zeros((nx * ny, 3), np.float32)
+    for i in range(nx):
+        frac = i / (nx - 1)
+        y = 1.3 - height * frac
+        for j in range(ny):
+            verts[i * ny + j] = [xs[j], y, 1.0 + tilt * height * frac]
+    idx = np.arange(nx * ny).reshape(nx, ny)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate([np.stack([a, b, c], -1),
+                            np.stack([b, d, c], -1)], 0).astype(np.int32)
+    return verts, faces
 
 
 def _make_problem():
-    """Hanging cloth pinned along one edge, swinging under gravity past
-    a sphere collider — a dynamic trajectory that separates D from E
-    (sag depends on D/E, oscillation frequency on sqrt(E/D))."""
+    """Tilted hanging cloth pinned along its top edge, swinging under
+    gravity onto a sphere collider — a dynamic trajectory that
+    separates D from E (sag/stretch depends on D/E, oscillation
+    frequency on sqrt(E/D)) and exposes H through the vertical rest
+    metric.  The window spans several frames so the material response,
+    not the material-independent free fall, dominates the loss.
+
+    column_k=0: at ~200 particles the dense-scatter path is much faster
+    on the CPU test backend than the sort/pack machinery."""
     from bench import build_body_sphere
-    verts, faces = make_cloth(nx=12, ny=12, y0=1.2, extent=0.5)
-    verts = verts.astype(np.float32)
+    verts, faces = _hanging_cloth()
     bv, bf = build_body_sphere(n_theta=8, n_phi=8,
-                               center=(1.0, 0.9, 1.0), r=0.15)
+                               center=(1.0, 0.85, 1.12), r=0.12)
     body_seq = np.repeat(bv[None], N_FRAMES + 1, 0)
     cfg = MaterialTrainerConfig(
-        grid_size=32, substep=40, iterations=80,
-        init_D=1.0, init_E=100.0, init_nu=0.3,
-        column_k=16, column_c_cap=0, mesh_column_k=16)
-    n_joint_v = 12  # pin the first vert row (split_idx convention)
+        grid_size=24, substep=16, iterations=100,
+        init_D=1.0, init_E=200.0, init_nu=0.3,
+        # few-step budget on CPU -> proportionally larger steps than the
+        # reference's 200-iteration schedule
+        lr_D=0.04, lr_E=0.08, lr_H=0.008,
+        column_k=0, column_c_cap=0, mesh_column_k=16)
+    n_joint_v = 9  # pin the first (top) vert row
     return cfg, verts, faces, body_seq, bf, n_joint_v
 
 
@@ -94,14 +125,14 @@ def test_inverse_recovery_autodiff_and_fd():
     tr_fd = _make_trainer(cfg, verts, faces, traj, body_seq, bf,
                           n_joint_v)
     fd_losses = []
-    for _ in range(25):
+    for _ in range(10):
         loss, fd_params = tr_fd.train_one_step_finite_diff()
         fd_losses.append(loss)
     assert fd_losses[-1] < fd_losses[0] * 0.5
-    # every parameter moved toward the truth from init (1.0, 1.0, 1.0)
+    # every parameter moved toward the truth from the reference init
+    inits = {"D": cfg.init_D, "E": cfg.init_E / 100.0, "H": 1.0}
     for k in ("D", "E", "H"):
-        init = 1.0
-        assert (TRUTH[k] - init) * (fd_params[k] - init) > 0, (
+        assert (TRUTH[k] - inits[k]) * (fd_params[k] - inits[k]) > 0, (
             k, fd_params)
 
     # the autodiff gradient matches the FD probe at the same point
