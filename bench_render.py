@@ -71,10 +71,15 @@ def main(quiet=False, iters=10):
     cov3d_big = covariance_from_scaling_rotation(big_scales, 1.0, rots)
 
     def render_big(xyz):
+        # every gaussian is big -> the mid/big instance pools must
+        # cover the full population (their defaults assume the trained
+        # avatar's mostly-small footprint distribution), and the
+        # compacted worklist (Pallas segment kernel) pays only real
+        # instances instead of tiles x capacity
         out = rasterize(xyz, colors, opac, cov3d_big, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=4096,
-                        max_tiles_per_gauss=96,
-                        tile_capacity_lo=512, hot_tiles=2048)
+                        max_tiles_per_gauss=96, work_cap=131072,
+                        mid_capacity=n, big_capacity=n)
         return out["render"], out["work_overflow"], out["big_overflow"]
 
     rjb = jax.jit(render_big)

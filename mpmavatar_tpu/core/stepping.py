@@ -385,6 +385,34 @@ def apply_mesh_collider(cfg: MPMStaticConfig, col: MeshCollider,
                      grid_v_out), overflow
 
 
+def joint_particle_fields(cfg: MPMStaticConfig, state: MPMState,
+                          joint_verts_v=None, joint_faces_v=None,
+                          joint_traditional_v=None):
+    """Per-particle (jvel (P,3), jw (P,)) mover fields for the FUSED
+    P2G+mover kernel: joint particles carry their prescribed velocity
+    and weight 1 (masked by the rasterize bounds check); everyone else
+    zero."""
+    E, T = cfg.n_elements, cfg.n_traditional
+    P = cfg.n_particles
+    dtype = state.x.dtype
+    jvel = jnp.zeros((P, 3), dtype)
+    jw = jnp.zeros((P,), dtype)
+    if joint_traditional_v is not None and cfg.num_joint_t > 0:
+        start = E + T - cfg.num_joint_t
+        jvel = jvel.at[start:E + T].set(joint_traditional_v)
+        jw = jw.at[start:E + T].set(1.0)
+    if joint_verts_v is not None and cfg.num_joint_v > 0:
+        start = E + T
+        jvel = jvel.at[start:start + cfg.num_joint_v].set(joint_verts_v)
+        jw = jw.at[start:start + cfg.num_joint_v].set(1.0)
+    if joint_faces_v is not None and cfg.num_joint_f > 0:
+        jvel = jvel.at[:cfg.num_joint_f].set(joint_faces_v)
+        jw = jw.at[:cfg.num_joint_f].set(1.0)
+    base = jnp.floor(state.x * cfg.inv_dx - 0.5).astype(jnp.int32)
+    inb = jnp.all((base >= 0) & (base < cfg.n_grid - 3), axis=-1)
+    return jvel, jw * inb.astype(dtype)
+
+
 def mover_fields(cfg: MPMStaticConfig, state: MPMState,
                  joint_verts_v=None, joint_faces_v=None,
                  joint_traditional_v=None, halo=None,
@@ -764,11 +792,34 @@ def p2g2p(cfg: MPMStaticConfig,
         if column_pallas:
             from ..ops import pallas_transfer as _pt
             geom = None
-            grid_v_in, grid_m, px_t = _pt.p2g_columns_fused(
+            # opt-in: fuse the mover splat into the P2G kernel as 4
+            # extra Z0 channels.  The matmul is free (4S=36 and 8S=72
+            # rows pad to the same 128-lane MXU tile) but A/B on v5e
+            # measured it NET SLOWER (57.1 vs 58.9 substeps/s): the
+            # kernel's HBM output and its fold/transpose double, which
+            # outweighs the ~0.4 ms separate mover splat it replaces.
+            # Kept for scenes with large joint sets.
+            import os as _os
+            fuse_mover = (colliders.use_particle_mover
+                          and bool(_os.environ.get("MPM_FUSE_MOVER"))
+                          and (joint_verts_v is not None
+                               or joint_faces_v is not None
+                               or joint_traditional_v is not None))
+            mover = None
+            if fuse_mover:
+                mover = joint_particle_fields(
+                    cfg, state, joint_verts_v, joint_faces_v,
+                    joint_traditional_v)
+            outs = _pt.p2g_columns_fused(
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
                 radius=column_radius, bf16=column_bf16, return_px=True,
-                halo=halo)
+                halo=halo, mover=mover)
+            if fuse_mover:
+                grid_v_in, grid_m, fused_mv, fused_mw, px_t = outs
+            else:
+                grid_v_in, grid_m, px_t = outs
+                fused_mv = fused_mw = None
         else:
             geom = _ct.pack_geometry(
                 cfg, state.x, bins, radius=column_radius,
@@ -783,6 +834,8 @@ def p2g2p(cfg: MPMStaticConfig,
         bins = geom = None
         grid_v_in, grid_m = p2g(cfg, state, model, stress, vertex_force, dt)
 
+    if not (column_k > 0 and column_pallas):
+        fused_mv = fused_mw = None
     overflow = bins.overflow if bins is not None else jnp.zeros((),
                                                                 jnp.int32)
     if halo is not None:
@@ -809,7 +862,9 @@ def p2g2p(cfg: MPMStaticConfig,
         else:
             acc = gw = None
             mesh_fric = jnp.float32(0.0)
-        if has_mover:
+        if has_mover and fused_mv is not None:
+            mv_, mw_ = fused_mv, fused_mw
+        elif has_mover:
             mv_, mw_ = mover_fields(cfg, state, joint_verts_v,
                                     joint_faces_v, joint_traditional_v,
                                     halo=halo, use_pallas=column_pallas)
@@ -842,7 +897,13 @@ def p2g2p(cfg: MPMStaticConfig,
                 column_k=mesh_column_k, c_cap=mesh_c_cap, halo=halo)
             overflow = overflow + mesh_of
 
-        if has_mover:
+        if has_mover and fused_mv is not None:
+            mcov = fused_mw > 1e-15
+            grid_v_out = jnp.where(
+                mcov[:, None],
+                fused_mv / jnp.maximum(fused_mw, 1e-15)[:, None],
+                grid_v_out)
+        elif has_mover:
             grid_v_out = apply_particle_mover(
                 cfg, state, grid_v_out, joint_verts_v, joint_faces_v,
                 joint_traditional_v, halo=halo,

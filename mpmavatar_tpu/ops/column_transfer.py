@@ -359,24 +359,21 @@ class HaloGrid(NamedTuple):
     an active-block structure sized to the scene, not the domain."""
     hcols: jnp.ndarray     # (H,) sorted unique flat xy ids; pad = G*G
     htargets: jnp.ndarray  # (C, S) halo row per pack-row/shift; H = drop
+    lut: jnp.ndarray       # (G*G+1,) flat xy id -> halo row (H = drop)
     n_h: jnp.ndarray       # () int32 live halo columns (<= H)
     overflow: jnp.ndarray  # () int32 unique halo columns beyond the cap
 
 
-def map_cols_to_halo(hcols: jnp.ndarray, tcols: jnp.ndarray,
-                     sentinel: int):
-    """Map flat xy column ids -> halo rows (H = not in the halo set)."""
-    H = hcols.shape[0]
-    idx = jnp.searchsorted(hcols, tcols).astype(jnp.int32)
-    idxc = jnp.clip(idx, 0, H - 1)
-    ok = (hcols[idxc] == tcols) & (tcols < sentinel)
-    return jnp.where(ok, idxc, H)
-
-
 def build_halo(bins: ColumnBins, cfg: MPMStaticConfig, radius: int,
                h_cap: int) -> HaloGrid:
-    """Sorted-unique dilation of the active column set (one small sort
-    over C*S candidate ids + searchsorted compaction; no scatter)."""
+    """Sorted-unique dilation of the active column set.
+
+    One C*S-candidate sort + ONE h_cap-row scatter building a dense
+    (G^2+1,) inverse lookup; every column->halo map (P2G fold, G2P
+    gather, mesh/mover splats) is then a single gather.  (The first
+    version mapped with jnp.searchsorted, which compiles to ~12 SERIAL
+    gather rounds per map on TPU — the same trap ROUND_NOTES documents
+    for build_bins.)"""
     G = cfg.n_grid
     sentinel = G * G
     tcols = _shift_columns(bins, G, radius)              # (C, S)
@@ -384,16 +381,24 @@ def build_halo(bins: ColumnBins, cfg: MPMStaticConfig, radius: int,
     flags = jnp.concatenate([jnp.ones((1,), bool),
                              cand[1:] != cand[:-1]])
     n_h = jnp.sum((flags & (cand < sentinel)).astype(jnp.int32))
-    seg_id = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    first_pos = jnp.searchsorted(seg_id, jnp.arange(h_cap)
-                                 ).astype(jnp.int32)
+    # compaction by sort-select: demote duplicates to a beyond-sentinel
+    # key and re-sort — unique reals land in the first n_h slots already
+    # sorted.  (searchsorted compaction compiles to ~15 serial gather
+    # rounds; a second small sort is cheaper on TPU.)
+    keys = jnp.where(flags & (cand < sentinel), cand, sentinel + 1)
+    if keys.shape[0] < h_cap:
+        keys = jnp.concatenate([keys, jnp.full((h_cap - keys.shape[0],),
+                                               sentinel + 1, keys.dtype)])
     ar = jnp.arange(h_cap)
-    hcols = jnp.where(ar < n_h,
-                      cand[jnp.clip(first_pos, 0, cand.shape[0] - 1)],
-                      sentinel)
+    hcols = jnp.minimum(jax.lax.sort(keys)[:h_cap], sentinel)
     overflow = jnp.maximum(n_h - h_cap, 0)
-    htargets = map_cols_to_halo(hcols, tcols, sentinel)
-    return HaloGrid(hcols=hcols, htargets=htargets,
+    # dense inverse lookup: pad rows write to sentinel+1 (OOB, dropped)
+    # so lut[sentinel] stays = h_cap (the drop row)
+    widx = jnp.where(ar < n_h, hcols, sentinel + 1)
+    lut = jnp.full((sentinel + 1,), h_cap, jnp.int32).at[widx].set(
+        ar.astype(jnp.int32), mode="drop")
+    htargets = lut[tcols]
+    return HaloGrid(hcols=hcols, htargets=htargets, lut=lut,
                     n_h=jnp.minimum(n_h, h_cap), overflow=overflow)
 
 
@@ -743,8 +748,8 @@ def splat_columns(cfg: MPMStaticConfig, points, values, K: int,
 
     shalo = None
     if halo is not None:
-        shalo = halo._replace(htargets=map_cols_to_halo(
-            halo.hcols, _shift_columns(bins, G, 1), G * G))
+        shalo = halo._replace(
+            htargets=halo.lut[_shift_columns(bins, G, 1)])
     grid = _scatter_columns(out, bins, G, Cch + 1, halo=shalo)
     grid = grid.reshape(-1, Cch + 1)
     return grid[:, :Cch], grid[:, Cch], bins.overflow

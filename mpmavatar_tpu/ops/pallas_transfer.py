@@ -113,14 +113,20 @@ def _geometry(px_t, colxy, inv_dx, G, shifts):
 
 
 def _p2g_math(px_t, pattr_t, colxy, inv_dx, dx, G, shifts, bf16):
-    """(B,3,K) x (B,27,K) -> (B, 4S, G) column contributions.
+    """(B,3,K) x (B,27|31,K) -> (B, 4S|8S, G) column contributions.
 
     pattr_t rows: [v(3), C_eff(9), mass, sel, stress(9), vforce(3),
     is_vertex] pre-scaled exactly as ops.column_transfer.p2g_columns.
-    Coefficients are assembled directly in the (B, 4S, 3K) matmul
+    With 31 rows, the extra [jvel(3), jw] rows FUSE the particle-mover
+    splat into the same pass: four more Z0-only output channels that
+    ride the identical (3K-contraction) matmul — n grows 4S -> 8S but
+    both pad to the same 128-lane MXU tile, so the mover's separate
+    binning/splat/fold disappears for free.
+    Coefficients are assembled directly in the (B, nS, 3K) matmul
     orientation (rows n = ch*S + s, lanes m = basis*K + k) so the
     dot_general against the basis needs no relayout."""
     S = len(shifts)
+    with_mover = pattr_t.shape[1] > 27
     zmat, wxy, dxwy, wxdy, dpx, dpy = _geometry(px_t, colxy, inv_dx, G,
                                                 shifts)
     row = lambda i: pattr_t[:, i, :][:, None, :]          # (B, 1, K)
@@ -148,14 +154,20 @@ def _p2g_math(px_t, pattr_t, colxy, inv_dx, dx, G, shifts, bf16):
     am = msel * wxy
     zeros = jnp.zeros_like(am)
     blocks.append(jnp.concatenate([am, zeros, zeros], axis=2))
-    coeff = jnp.concatenate(blocks, axis=1)               # (B, 4S, 3K)
+    if with_mover:
+        jw = row(30)
+        for ch in range(3):
+            jv = jw * row(27 + ch) * wxy
+            blocks.append(jnp.concatenate([jv, zeros, zeros], axis=2))
+        blocks.append(jnp.concatenate([jw * wxy, zeros, zeros], axis=2))
+    coeff = jnp.concatenate(blocks, axis=1)               # (B, nS, 3K)
 
     if bf16:
         zmat = zmat.astype(jnp.bfloat16)
         coeff = coeff.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         coeff, zmat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # (B, 4S, G)
+        preferred_element_type=jnp.float32)               # (B, nS, G)
 
 
 def _g2p_math(px_t, g_all, colxy, inv_dx, G, shifts, bf16):
@@ -212,14 +224,14 @@ def _g2p_math(px_t, g_all, colxy, inv_dx, G, shifts, bf16):
 
 def _p2g_pallas(px_t, pattr_t, colxy_f, inv_dx, dx, G, shifts, bf16,
                 block_c, interpret):
-    C, _, K = px_t.shape
+    C, n_attr, K = px_t.shape[0], pattr_t.shape[1], px_t.shape[2]
     S = len(shifts)
     bc = _pick_block(C, block_c)
-    n = 4 * S
+    n = (8 if n_attr > 27 else 4) * S
 
     def kernel(px_ref, attr_ref, col_ref, out_ref):
         out = _p2g_math(px_ref[...], attr_ref[...], col_ref[...],
-                        inv_dx, dx, G, shifts, bf16)      # (bc, 4S, G)
+                        inv_dx, dx, G, shifts, bf16)      # (bc, nS, G)
         out_ref[...] = out.reshape(bc * n, G)
 
     out = pl.pallas_call(
@@ -228,7 +240,7 @@ def _p2g_pallas(px_t, pattr_t, colxy_f, inv_dx, dx, G, shifts, bf16,
         in_specs=[
             pl.BlockSpec((bc, 3, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, 27, K), lambda i: (i, 0, 0),
+            pl.BlockSpec((bc, n_attr, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -354,12 +366,17 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
                       block_c: int = 8, interpret=None, px_t=None,
-                      return_px: bool = False, halo=None):
+                      return_px: bool = False, halo=None, mover=None):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
     column_transfer.p2g_columns; ``c_eff`` is the RPIC-damped affine
-    field (defaults to state.C).  Returns (grid_v_in (G^3,3), grid_m)."""
+    field (defaults to state.C).  Returns (grid_v_in (G^3,3), grid_m).
+
+    ``mover=(jvel (P,3), jw (P,))`` fuses the particle-mover splat into
+    the same kernel pass (joint particles carry jw=1): the return gains
+    (mover_v (N,3), mover_w (N,)) — exact replacement for a separate
+    stepping.mover_fields splat."""
     if interpret is None:
         interpret = _interpret_default()
     block_c = _pick_block(bins.pid.shape[0], block_c)
@@ -386,18 +403,21 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     # row-latency bound (~8 ns per row regardless of width), so a
     # separate position gather costs a full extra pass over the
     # C*K pack rows
-    attr = jnp.concatenate(
-        [state.x, state.v, c_use.reshape(P, 9), mass[:, None],
-         sel[:, None], stress_eff.reshape(P, 9), vforce,
-         is_vertex[:, None]], axis=1)
+    cols = [state.x, state.v, c_use.reshape(P, 9), mass[:, None],
+            sel[:, None], stress_eff.reshape(P, 9), vforce,
+            is_vertex[:, None]]
+    if mover is not None:
+        jvel, jw = mover
+        cols += [jvel, jw[:, None]]
+    attr = jnp.concatenate(cols, axis=1)
     # slot-lane kernel layout: channels on rows, packed slots on lanes
-    packed30 = _packed_gather(attr, pid,
-                              fill=0.0).transpose(0, 2, 1)  # (C, 30, K)
+    packed = _packed_gather(attr, pid,
+                            fill=0.0).transpose(0, 2, 1)  # (C, 30|34, K)
     if px_t is None:
         # sentinel slots gathered x=0 -> base=-1; their coefficients are
         # zero (mass/sel gathered 0) so the weights never contribute
-        px_t = packed30[:, 0:3, :]
-    pattr_t = packed30[:, 3:, :]                          # (C, 27, K)
+        px_t = packed[:, 0:3, :]
+    pattr_t = packed[:, 3:, :]                            # (C, 27|31, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
@@ -405,13 +425,17 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     out = _p2g_fused(px_t, pattr_t, colxy_f, float(cfg.inv_dx),
                      float(dx), G, shifts, bf16, block_c, interpret)
     S = len(shifts)
-    # (C, 4S, G) lane-aligned kernel layout -> (C, G, 4, S) scatter layout
-    out = out.reshape(pid.shape[0], 4, S, G).transpose(0, 3, 1, 2)
-    grid = _scatter_columns(out, bins, G, 4, radius,
-                            halo=halo).reshape(-1, 4)
+    nch = 8 if mover is not None else 4
+    # (C, nS, G) lane-aligned kernel layout -> (C, G, n, S) scatter layout
+    out = out.reshape(pid.shape[0], nch, S, G).transpose(0, 3, 1, 2)
+    grid = _scatter_columns(out, bins, G, nch, radius,
+                            halo=halo).reshape(-1, nch)
+    rets = (grid[:, :3], grid[:, 3])
+    if mover is not None:
+        rets = rets + (grid[:, 4:7], grid[:, 7])
     if return_px:
-        return grid[:, :3], grid[:, 3], px_t
-    return grid[:, :3], grid[:, 3]
+        return rets + (px_t,)
+    return rets
 
 
 def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
@@ -572,9 +596,8 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
     out = out.reshape(C_cap, CH, S, G).transpose(0, 3, 1, 2)
     shalo = None
     if halo is not None:
-        from .column_transfer import map_cols_to_halo
-        shalo = halo._replace(htargets=map_cols_to_halo(
-            halo.hcols, _shift_columns(bins, G, 1), G * G))
+        shalo = halo._replace(
+            htargets=halo.lut[_shift_columns(bins, G, 1)])
     grid = _scatter_columns(out, bins, G, CH, halo=shalo)
     grid = grid.reshape(-1, CH)
     return grid[:, :Cch], grid[:, Cch], bins.overflow

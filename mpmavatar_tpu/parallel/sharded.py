@@ -9,8 +9,10 @@ coupling (g2p_e reads updated vertex positions, mpm_utils.py:838-857) is
 closed with one small ``all_gather`` of the vertex block.  The collider
 mesh is sharded over faces with its grid rasterization psum-reduced.
 
-All collective layouts keep traffic on ICI: the only cross-device tensors
-are the dense grid (all-reduce) and the (V, 3) vertex block (all-gather).
+All collective layouts keep traffic on ICI: the cross-device tensors are
+the grid (reduce-scatter + all-gather — PACKED to the active halo
+columns when ``halo_cap`` is set, dense G^3 otherwise) and the (V, 3)
+vertex block (all-gather).
 """
 
 from __future__ import annotations
@@ -181,13 +183,13 @@ def _global_halo(cfg, bins_loc, axis: str, radius: int, h_cap: int):
     flags = jnp.concatenate([jnp.ones((1,), bool),
                              cand[1:] != cand[:-1]])
     n_h = jnp.sum((flags & (cand < sentinel)).astype(jnp.int32))
-    seg_id = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    first_pos = jnp.searchsorted(seg_id, jnp.arange(h_cap)
-                                 ).astype(jnp.int32)
+    # sort-select compaction (see build_halo): unique reals first
+    keys = jnp.where(flags & (cand < sentinel), cand, sentinel + 1)
+    if keys.shape[0] < h_cap:
+        keys = jnp.concatenate([keys, jnp.full((h_cap - keys.shape[0],),
+                                               sentinel + 1, keys.dtype)])
     ar = jnp.arange(h_cap)
-    hcols = jnp.where(ar < n_h,
-                      cand[jnp.clip(first_pos, 0, cand.shape[0] - 1)],
-                      sentinel)
+    hcols = jnp.minimum(jax.lax.sort(keys)[:h_cap], sentinel)
     widx = jnp.where(ar < n_h, hcols, sentinel + 1)
     lut = jnp.full((sentinel + 1,), h_cap, jnp.int32).at[widx].set(
         ar.astype(jnp.int32), mode="drop")

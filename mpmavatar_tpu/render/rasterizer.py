@@ -332,21 +332,9 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
     p = TILE * TILE
     max_items = cap // chunk
 
-    means2d_p = jnp.concatenate([means2d, jnp.full((1, 2), -1e6,
-                                                   means2d.dtype)])
-    conic_p = jnp.concatenate([conic, jnp.zeros((1, 3), conic.dtype)])
-    colors_p = jnp.concatenate([colors, jnp.zeros((1, nc), colors.dtype)])
-    opac_p = jnp.concatenate([opacities.reshape(-1),
-                              jnp.zeros((1,), opacities.dtype)])
-
     t_idx = jnp.arange(num_tiles)
     tile_x0 = (t_idx % tiles_x) * TILE
     tile_y0 = (t_idx // tiles_x) * TILE
-    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    pix_all = jnp.stack(
-        [tile_x0[:, None] + px.reshape(-1)[None, :],
-         tile_y0[:, None] + py.reshape(-1)[None, :]],
-        -1).astype(means2d.dtype)                        # (T,P,2)
 
     counts = jnp.sum(table < n, axis=1)
     items_per_tile = (jnp.minimum(counts, cap) + chunk - 1) // chunk
@@ -364,26 +352,26 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
     table_r = table.reshape(num_tiles, max_items, chunk)
     ids = jnp.where(valid_item[:, None],
                     table_r[item_tile, ordinal], n)      # (W, chunk)
-    pix = pix_all[item_tile]                             # (W, P, 2)
 
-    m = means2d_p[ids]
-    co = conic_p[ids]
-    col = colors_p[ids]
-    op = opac_p[ids]
-    d = pix[:, :, None, :] - m[:, None, :, :]            # (W,P,C,2)
-    power = -0.5 * (co[:, None, :, 0] * d[..., 0] ** 2
-                    + co[:, None, :, 2] * d[..., 1] ** 2) \
-        - co[:, None, :, 1] * d[..., 0] * d[..., 1]
-    alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(
-        jnp.minimum(power, 0.0)))
-    alpha = jnp.where(power > 0.0, 0.0, alpha)
-    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)     # (W,P,C)
-    log1m = jnp.log1p(-alpha)
-    tri = jnp.triu(jnp.ones((chunk, chunk), alpha.dtype), 1)
-    excl_log = jnp.einsum("wpc,cd->wpd", log1m, tri)
-    w_ = alpha * jnp.exp(excl_log)
-    seg_c = jnp.einsum("wpc,wcn->wpn", w_, col)          # (W,P,nc)
-    seg_t = jnp.exp(excl_log[..., -1] + log1m[..., -1])  # (W,P)
+    # ONE packed id-gather (gathers are row-latency-bound: four separate
+    # per-array gathers quadruple the dominant cost) feeding the Pallas
+    # segment kernel, whose intermediates live in VMEM — the earlier XLA
+    # formulation materialized (W, 256, chunk) tensors in HBM and made
+    # large work caps uncompilable.  Sentinel id n hits the pad row
+    # (opacity 0 -> alpha 0).
+    pad = jnp.zeros((1, 6 + nc), means2d.dtype).at[0, 0:2].set(-1e6)
+    packed = jnp.concatenate(
+        [jnp.concatenate([means2d, conic, colors,
+                          opacities.reshape(-1, 1)], -1), pad], 0)
+    pgT = packed[ids].transpose(0, 2, 1)                 # (W, D, chunk)
+    pix0 = jnp.stack([tile_x0, tile_y0],
+                     -1).astype(means2d.dtype)[item_tile]  # (W, 2)
+
+    from .pallas_composite import pick_block, segment_composite
+    seg = segment_composite(pgT, pix0, nc, pick_block(work_cap),
+                            jax.default_backend() != "tpu")
+    seg_c = seg[:, :nc].transpose(0, 2, 1)               # (W, P, nc)
+    seg_t = seg[:, nc]                                   # (W, P)
 
     accum = jnp.zeros((num_tiles, p, nc), means2d.dtype)
     trans = jnp.ones((num_tiles, p), means2d.dtype)

@@ -93,22 +93,28 @@ def test_bf16_transfer_parity():
 @pytest.mark.slow
 def test_full_frame_pallas_path():
     """End-to-end frame: pallas path matches the scatter path, including
-    mesh collider + amortized rebinning, and stays differentiable."""
+    mesh collider + joint pinning (fused-mover kernel channels) +
+    amortized rebinning, and stays differentiable."""
+    import dataclasses
     from mpmavatar_tpu.sim import MPMSolver
     from bench import build_body_sphere
     verts, faces = make_cloth(nx=10, ny=10, y0=1.1, extent=0.5)
     _, cfg, state, model = build_pair(verts, faces, E=500.0, n_grid=64)
+    cfg = dataclasses.replace(cfg, num_joint_v=6)
     bv, bf = build_body_sphere(n_theta=12, n_phi=12,
                                center=(1.0, 0.8, 1.0), r=0.25)
     mx, mv = jnp.asarray(bv), jnp.zeros((len(bv), 3), jnp.float32)
+    jv = jnp.full((6, 3), 0.05, jnp.float32)
 
     def run(**kw):
         s = MPMSolver(cfg, column_k=16, mesh_column_k=16,
                       column_c_cap=512, faces=faces, **kw)
         s.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
         s.add_mesh_collider(bf, friction=0.5)
+        s.add_particle_mover()
         st, _, of = s.frame(state, model, 1e-4, 8, 0.0, mesh_x=mx,
-                            mesh_v=mv, return_overflow=True)
+                            mesh_v=mv, joint_verts_v=jv,
+                            return_overflow=True)
         assert int(of) == 0
         return np.asarray(st.x)
 

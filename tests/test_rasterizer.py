@@ -225,3 +225,17 @@ def test_worklist_compositing_matches_full():
                                np.asarray(full["render"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(wl["alpha"]),
                                np.asarray(full["alpha"]), atol=1e-5)
+
+    # the Pallas segment kernel's custom VJP matches the flat path's
+    # gradient (XLA re-trace backward)
+    def loss(path_kw):
+        def f(op):
+            out = rasterize(xyz, colors, op, cov, ca, jnp.zeros(3),
+                            64, 64, tile_capacity=256, **path_kw)
+            return jnp.sum(out["render"] ** 2)
+        return jax.grad(f)(opac)
+
+    g_full = loss({})
+    g_wl = loss({"work_cap": 512})
+    np.testing.assert_allclose(np.asarray(g_wl), np.asarray(g_full),
+                               atol=1e-4)
