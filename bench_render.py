@@ -76,10 +76,12 @@ def main(quiet=False, iters=10):
         # avatar's mostly-small footprint distribution), and the
         # compacted worklist (Pallas segment kernel) pays only real
         # instances instead of tiles x capacity
+        # chunk=128 fills the segment kernel's sublane axis and cuts the
+        # worklist 4x (fewer per-item gathers, 5 combine-scan steps)
         out = rasterize(xyz, colors, opac, cov3d_big, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=4096,
-                        max_tiles_per_gauss=96, work_cap=131072,
-                        mid_capacity=n, big_capacity=n)
+                        max_tiles_per_gauss=96, chunk=128,
+                        work_cap=32768, mid_capacity=n, big_capacity=n)
         return out["render"], out["work_overflow"], out["big_overflow"]
 
     rjb = jax.jit(render_big)

@@ -107,12 +107,20 @@ def project_gaussians(means3d, cov3d, cam: CameraArrays, width: int,
     return means2d, depth, conic, radius, in_frustum
 
 
-def _build_tile_table(means2d, depth, radius, valid, width, height,
-                      max_tiles_per_gauss: int, tile_capacity: int,
+def _sorted_instances(means2d, depth, radius, valid, width, height,
+                      max_tiles_per_gauss: int,
                       mid_capacity=None, big_capacity=None):
-    """Fixed-capacity per-tile index table, depth-sorted.
+    """(tile, depth)-sorted gaussian instances (no dense table).
 
-    Returns (table (T, K) int32 gaussian ids padded with N, counts (T,)).
+    Returns (tile_sorted (I,), gauss_sorted (I,), edges (T+2,),
+    big_overflow) where instances of tile t occupy
+    gauss_sorted[edges[t]:edges[t+1]] in front-to-back depth order —
+    the layout both compositors consume.  Replaces the 64-bit
+    (tile | depth) radix-sort key build of the reference CUDA rasterizer
+    (diff-gaussian-rasterization duplicateWithKeys/SortPairs) with one
+    multi-operand ``lax.sort``; when (T+1)*(N+1) fits int32 the key
+    packs (tile, depth-rank) into a single operand — measurably cheaper
+    than the 2-key lexicographic sort at multi-million instance counts.
     """
     n = means2d.shape[0]
     tiles_x = (width + TILE - 1) // TILE
@@ -141,7 +149,19 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     over2 = ok_g & ((w_t > 2) | (h_t > 2))
     over4 = ok_g & ((w_t > 4) | (h_t > 4))
 
+    packed_key = (num_tiles + 1) * (n + 1) < 2 ** 31
+    if packed_key:
+        # depth rank (a dense permutation): replaces the f32 depth sort
+        # operand and makes the order deterministic under depth ties
+        d_order = jnp.argsort(depth)
+        rank = jnp.zeros((n,), jnp.int32).at[d_order].set(
+            jnp.arange(n, dtype=jnp.int32))
+
     def pool(idx_g, side_p, emit):
+        """Per-pool instance emission.  All per-gaussian values are
+        gathered at N scale and broadcast to slots — nothing is gathered
+        at instance scale (instance-sized gathers are the dominant cost
+        at multi-million instance counts)."""
         offs = jnp.stack(
             jnp.meshgrid(jnp.arange(side_p), jnp.arange(side_p),
                          indexing="ij"), -1).reshape(-1, 2)
@@ -151,8 +171,11 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
             & (tx < rect_max_x[idx_g][:, None])
         tid = jnp.where(v, ty * tiles_x + tx, num_tiles)
         gid = jnp.broadcast_to(idx_g[:, None], tid.shape)
-        dep = jnp.broadcast_to(depth[idx_g][:, None], tid.shape)
-        return tid.reshape(-1), gid.reshape(-1), dep.reshape(-1)
+        if packed_key:
+            key = tid * (n + 1) + rank[idx_g][:, None]
+            return key.reshape(-1), gid.reshape(-1)
+        dep = jnp.where(v, depth[idx_g][:, None], jnp.inf)
+        return (tid.reshape(-1), dep.reshape(-1)), gid.reshape(-1)
 
     def top_pool(flag, capacity):
         order = jnp.argsort(jnp.where(flag, 0, 1), stable=True)
@@ -174,24 +197,33 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     big_idx, in_big, big_over = top_pool(over4, big_capacity)
     big_overflow = mid_over + big_over
 
-    t_s, g_s, d_s = pool(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big)
-    t_m, g_m, d_m = pool(mid_idx, 4, in_mid & ~in_big)
-    t_b, g_b, d_b = pool(big_idx, side, in_big)
-    tile_id = jnp.concatenate([t_s, t_m, t_b])
+    k_s, g_s = pool(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big)
+    k_m, g_m = pool(mid_idx, 4, in_mid & ~in_big)
+    k_b, g_b = pool(big_idx, side, in_big)
     gauss_id = jnp.concatenate([g_s, g_m, g_b])
-    inst_depth = jnp.concatenate([d_s, d_m, d_b])
 
-    # one lexicographic (tile, depth) sort via multi-key lax.sort —
-    # half the cost of the classic two-pass argsort emulation
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_id, inst_depth, gauss_id), num_keys=2)
+    if packed_key:
+        key = jnp.concatenate([k_s, k_m, k_b])
+        key_sorted, gauss_sorted = jax.lax.sort((key, gauss_id),
+                                                num_keys=1)
+        tile_sorted = key_sorted // (n + 1)
+    else:
+        tile_id = jnp.concatenate([k_s[0], k_m[0], k_b[0]])
+        inst_depth = jnp.concatenate([k_s[1], k_m[1], k_b[1]])
+        tile_sorted, _, gauss_sorted = jax.lax.sort(
+            (tile_id, inst_depth, gauss_id), num_keys=2)
 
     # scatter-free tile ranges: tile_sorted is sorted, so per-tile
     # starts/counts come from searchsorted instead of a row-serial
     # scatter-add over every instance
     edges = jnp.searchsorted(tile_sorted,
                              jnp.arange(num_tiles + 2)).astype(jnp.int32)
-    counts = edges[1:] - edges[:-1]
+    return tile_sorted, gauss_sorted, edges, big_overflow
+
+
+def _build_tile_table(tile_sorted, gauss_sorted, edges, n: int,
+                      num_tiles: int, tile_capacity: int):
+    """Dense fixed-capacity (T, K) table from the sorted instances."""
     starts = edges[:-1]
     pos_in_tile = jnp.arange(tile_sorted.shape[0]) - starts[tile_sorted]
 
@@ -200,8 +232,7 @@ def _build_tile_table(means2d, depth, radius, valid, width, height,
     flat_idx = jnp.where(ok, tile_sorted * tile_capacity + pos_in_tile,
                          num_tiles * tile_capacity)
     table = table.reshape(-1).at[flat_idx].set(gauss_sorted, mode="drop")
-    return (table.reshape(num_tiles, tile_capacity), counts[:num_tiles],
-            big_overflow)
+    return table.reshape(num_tiles, tile_capacity)
 
 
 def _composite(table, means2d, conic, colors, opacities, width, height,
@@ -312,9 +343,9 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
     return img[:, :height, :width], alpha_map[:, :height, :width]
 
 
-def _composite_worklist(table, means2d, conic, colors, opacities,
-                        width, height, bg, chunk: int = 32,
-                        work_cap: int = 16384):
+def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
+                        opacities, width, height, bg, chunk: int = 32,
+                        work_cap: int = 16384, tile_capacity: int = 512):
     """Front-to-back compositing over a compacted (tile, chunk) worklist.
 
     Work scales with the number of REAL instances (sum of per-tile
@@ -323,21 +354,26 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
     — segments of the same tile then combine in depth order with the
     associative rule (c, t) o (c', t') = (c + t*c', t*t').  Exact for any
     tile-density distribution (unlike the two-tier heuristic); items
-    beyond ``work_cap`` are dropped (telemetry: second return value).
+    beyond ``work_cap`` are dropped (telemetry: third return value).
+
+    Consumes the sorted instance layout directly (instances of a tile
+    are contiguous in ``gauss_sorted``) — no dense (T, K) table exists
+    on this path — and combines same-tile segments with a segmented
+    Hillis-Steele doubling scan: ceil(log2(max_items)) shifted
+    elementwise passes over the (W, nc+1, 256) segments instead of a
+    max_items-deep gather loop.
     """
-    num_tiles, cap = table.shape
     tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
     n = means2d.shape[0]
     nc = colors.shape[-1]
-    p = TILE * TILE
-    max_items = cap // chunk
+    cap = tile_capacity
+    max_items = max(cap // chunk, 1)
 
-    t_idx = jnp.arange(num_tiles)
-    tile_x0 = (t_idx % tiles_x) * TILE
-    tile_y0 = (t_idx // tiles_x) * TILE
-
-    counts = jnp.sum(table < n, axis=1)
-    items_per_tile = (jnp.minimum(counts, cap) + chunk - 1) // chunk
+    starts = edges[:num_tiles]
+    counts = jnp.minimum(edges[1:num_tiles + 1] - starts, cap)
+    items_per_tile = (counts + chunk - 1) // chunk
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(items_per_tile).astype(jnp.int32)])
     n_items = offs[-1]
@@ -349,9 +385,11 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
     valid_item = w_ids < n_items
     ordinal = jnp.clip(w_ids - offs[item_tile], 0, max_items - 1)
 
-    table_r = table.reshape(num_tiles, max_items, chunk)
-    ids = jnp.where(valid_item[:, None],
-                    table_r[item_tile, ordinal], n)      # (W, chunk)
+    pos = ordinal[:, None] * chunk + jnp.arange(chunk)[None, :]
+    in_tile = valid_item[:, None] & (pos < counts[item_tile][:, None])
+    src = jnp.clip(starts[item_tile][:, None] + pos, 0,
+                   gauss_sorted.shape[0] - 1)
+    ids = jnp.where(in_tile, gauss_sorted[src], n)       # (W, chunk)
 
     # ONE packed id-gather (gathers are row-latency-bound: four separate
     # per-array gathers quadruple the dominant cost) feeding the Pallas
@@ -364,32 +402,47 @@ def _composite_worklist(table, means2d, conic, colors, opacities,
         [jnp.concatenate([means2d, conic, colors,
                           opacities.reshape(-1, 1)], -1), pad], 0)
     pgT = packed[ids].transpose(0, 2, 1)                 # (W, D, chunk)
+    t_idx = jnp.arange(num_tiles)
+    tile_x0 = (t_idx % tiles_x) * TILE
+    tile_y0 = (t_idx // tiles_x) * TILE
     pix0 = jnp.stack([tile_x0, tile_y0],
                      -1).astype(means2d.dtype)[item_tile]  # (W, 2)
 
     from .pallas_composite import pick_block, segment_composite
     seg = segment_composite(pgT, pix0, nc, pick_block(work_cap),
                             jax.default_backend() != "tpu")
-    seg_c = seg[:, :nc].transpose(0, 2, 1)               # (W, P, nc)
+    seg_c = seg[:, :nc]                                  # (W, nc, P)
     seg_t = seg[:, nc]                                   # (W, P)
 
-    accum = jnp.zeros((num_tiles, p, nc), means2d.dtype)
-    trans = jnp.ones((num_tiles, p), means2d.dtype)
-    for j in range(max_items):
-        # an item participates only if it exists for this tile AND fell
-        # inside the computed worklist — items beyond work_cap were never
-        # evaluated, so compositing them would mix another tile's segment
-        has = (j < items_per_tile) & (offs[:num_tiles] + j < work_cap)
-        idx = jnp.clip(offs[:num_tiles] + j, 0, work_cap - 1)
-        cj = jnp.where(has[:, None, None], seg_c[idx], 0.0)
-        tj = jnp.where(has[:, None], seg_t[idx], 1.0)
-        accum = accum + trans[..., None] * cj
-        trans = trans * tj
+    # Segmented inclusive scan along W (items of one tile are
+    # consecutive and depth-ordered; invalid tail items are the identity
+    # (0, 1) so merging them is harmless).  After ceil(log2(max_items))
+    # doubling steps, item i holds the ordered combination of its tile's
+    # items [segment_start..i].
+    s = 1
+    while s < max_items:
+        same = jnp.concatenate(
+            [jnp.zeros((s,), bool), item_tile[s:] == item_tile[:-s]])
+        c_l = jnp.concatenate(
+            [jnp.zeros((s,) + seg_c.shape[1:], seg_c.dtype), seg_c[:-s]])
+        t_l = jnp.concatenate(
+            [jnp.ones((s,) + seg_t.shape[1:], seg_t.dtype), seg_t[:-s]])
+        seg_c = jnp.where(same[:, None, None],
+                          c_l + t_l[:, None, :] * seg_c, seg_c)
+        seg_t = jnp.where(same[:, None], t_l * seg_t, seg_t)
+        s *= 2
 
-    img = accum + trans[..., None] * bg[None, None, :nc]
-    tiles_y = num_tiles // tiles_x
-    img = img.reshape(tiles_y, tiles_x, TILE, TILE, nc)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(nc, tiles_y * TILE,
+    # per-tile result at its LAST in-cap item; tiles truncated by
+    # work_cap keep the in-cap prefix (overflow is reported above)
+    tile_end = jnp.minimum(offs[1:num_tiles + 1], work_cap)
+    has = offs[:num_tiles] < tile_end
+    last = jnp.clip(tile_end - 1, 0, work_cap - 1)
+    accum = jnp.where(has[:, None, None], seg_c[last], 0.0)  # (T, nc, P)
+    trans = jnp.where(has[:, None], seg_t[last], 1.0)        # (T, P)
+
+    img = accum + trans[:, None, :] * bg[:nc][None, :, None]
+    img = img.reshape(tiles_y, tiles_x, nc, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(nc, tiles_y * TILE,
                                                tiles_x * TILE)
     alpha_map = 1.0 - trans
     alpha_map = alpha_map.reshape(tiles_y, tiles_x, TILE, TILE)
@@ -426,15 +479,23 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
         means3d, cov3d, cam, width, height)
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
-    table, counts, big_overflow = _build_tile_table(
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+    tile_sorted, gauss_sorted, edges, big_overflow = _sorted_instances(
         means2d, depth, radius, in_frustum, width, height,
-        max_tiles_per_gauss, tile_capacity,
+        max_tiles_per_gauss,
         mid_capacity=mid_capacity, big_capacity=big_capacity)
+    counts = edges[1:num_tiles + 1] - edges[:num_tiles]
     if work_cap > 0:
         img, alpha, work_overflow = _composite_worklist(
-            table, means2d, conic, colors, opacities, width, height, bg,
-            chunk=chunk, work_cap=work_cap)
+            gauss_sorted, edges, means2d, conic, colors, opacities,
+            width, height, bg, chunk=chunk, work_cap=work_cap,
+            tile_capacity=tile_capacity)
     else:
+        table = _build_tile_table(tile_sorted, gauss_sorted, edges,
+                                  means3d.shape[0], num_tiles,
+                                  tile_capacity)
         img, alpha = _composite(table, means2d, conic, colors, opacities,
                                 width, height, bg, chunk=chunk,
                                 cap_lo=tile_capacity_lo,

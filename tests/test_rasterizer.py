@@ -239,3 +239,11 @@ def test_worklist_compositing_matches_full():
     g_wl = loss({"work_cap": 512})
     np.testing.assert_allclose(np.asarray(g_wl), np.asarray(g_full),
                                atol=1e-4)
+
+    # chunk=128 (the big-splat bench configuration: full sublane axis in
+    # the segment kernel, 4x shorter worklist) is parity-exact too
+    wl128 = rasterize(xyz, colors, opac, cov, ca, jnp.zeros(3), 64, 64,
+                      tile_capacity=256, work_cap=512, chunk=128)
+    assert int(wl128["work_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(wl128["render"]),
+                               np.asarray(full["render"]), atol=1e-5)
