@@ -78,9 +78,12 @@ def main(quiet=False, iters=10):
         # instances instead of tiles x capacity
         # chunk=128 fills the segment kernel's sublane axis and cuts the
         # worklist 4x (fewer per-item gathers, 5 combine-scan steps)
+        # max_tiles_per_gauss sizes only the giant-footprint tail tier
+        # (most big splats fit the 8x8 tier); rect clipping counts into
+        # big_overflow so the zero-overflow assert guards the sizing
         out = rasterize(xyz, colors, opac, cov3d_big, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=4096,
-                        max_tiles_per_gauss=96, chunk=128,
+                        max_tiles_per_gauss=196, chunk=128,
                         work_cap=32768, mid_capacity=n, big_capacity=n)
         return out["render"], out["work_overflow"], out["big_overflow"]
 

@@ -195,21 +195,37 @@ def _sorted_instances(means2d, depth, radius, valid, width, height,
                        else big_capacity)
     mid_idx, in_mid, mid_over = top_pool(over2, mid_capacity)
     big_idx, in_big, big_over = top_pool(over4, big_capacity)
-    big_overflow = mid_over + big_over
+    pools = [(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big),
+             (mid_idx, 4, in_mid & ~in_big)]
+    if side > 8:
+        # giant-footprint tail tier: most >4x4 rects still fit 8x8, so
+        # giving every big-pool member the worst-case side^2 slots
+        # would double the sort; only the (rect > 8) tail pays side^2
+        over8 = ok_g & ((w_t > 8) | (h_t > 8))
+        huge_idx, in_huge, huge_over = top_pool(
+            over8, min(n, max(256, n // 32)))
+        pools += [(big_idx, 8, in_big & ~in_huge),
+                  (huge_idx, side, in_huge)]
+    else:
+        huge_over = 0
+        pools += [(big_idx, side, in_big)]
+    # rects larger than the top tier's side x side window lose their
+    # outer tiles — count them so callers can size max_tiles_per_gauss
+    # tightly without silent coverage loss
+    clipped = ok_g & ((w_t > side) | (h_t > side))
+    big_overflow = mid_over + big_over + huge_over + jnp.sum(clipped)
 
-    k_s, g_s = pool(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big)
-    k_m, g_m = pool(mid_idx, 4, in_mid & ~in_big)
-    k_b, g_b = pool(big_idx, side, in_big)
-    gauss_id = jnp.concatenate([g_s, g_m, g_b])
+    emitted = [pool(*p) for p in pools]
+    gauss_id = jnp.concatenate([g for _, g in emitted])
 
     if packed_key:
-        key = jnp.concatenate([k_s, k_m, k_b])
+        key = jnp.concatenate([k for k, _ in emitted])
         key_sorted, gauss_sorted = jax.lax.sort((key, gauss_id),
                                                 num_keys=1)
         tile_sorted = key_sorted // (n + 1)
     else:
-        tile_id = jnp.concatenate([k_s[0], k_m[0], k_b[0]])
-        inst_depth = jnp.concatenate([k_s[1], k_m[1], k_b[1]])
+        tile_id = jnp.concatenate([k[0] for k, _ in emitted])
+        inst_depth = jnp.concatenate([k[1] for k, _ in emitted])
         tile_sorted, _, gauss_sorted = jax.lax.sort(
             (tile_id, inst_depth, gauss_id), num_keys=2)
 
