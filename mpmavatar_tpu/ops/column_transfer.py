@@ -420,6 +420,19 @@ def count_halo(x: jnp.ndarray, cfg: MPMStaticConfig, radius: int):
     return jnp.sum((flags & (cand < sentinel)).astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def count_rows_and_halo(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
+                        ztile: bool, radius: int):
+    """Fused per-frame cap probe: (2,) int32 [pack rows, halo columns].
+
+    One device computation and ONE host transfer — on a tunneled
+    runtime each separate readback costs a full round trip (~40 ms),
+    which dominates an otherwise ~17 ms/substep frame when probed
+    per frame."""
+    return jnp.stack([count_rows(x, cfg, K, ztile),
+                      count_halo(x, cfg, radius)])
+
+
 def halo_cell_ids(halo: HaloGrid, G: int):
     """Dense flat cell id per packed cell, (H*Gz,) int32 (pad rows get
     ids >= G^3 — they carry zero mass and are never gathered)."""

@@ -383,12 +383,17 @@ class MPMSolver:
         from ..ops import column_transfer as _ct
         ztile = (self.column_ztile and self.column_radius == 1
                  and not self.column_pallas)
-        rows = int(_ct.count_rows(state.x, self.cfg, self.column_k,
-                                  ztile))
         if (self.halo_cap or 0) > 0:
-            n_halo = int(_ct.count_halo(state.x, self.cfg,
-                                        self.column_radius))
-            self.halo_cap = self._pick_halo_cap(n_halo, headroom)
+            # fused probe: one readback instead of two (each host
+            # transfer is a full round trip on tunneled runtimes)
+            probe = np.asarray(_ct.count_rows_and_halo(
+                state.x, self.cfg, self.column_k, ztile,
+                self.column_radius))
+            rows = int(probe[0])
+            self.halo_cap = self._pick_halo_cap(int(probe[1]), headroom)
+        else:
+            rows = int(_ct.count_rows(state.x, self.cfg, self.column_k,
+                                      ztile))
         want = int(rows * headroom)
         for cap in self._CAP_LADDER:
             if cap >= want:
