@@ -139,7 +139,8 @@ def main():
                        column_pallas=args.pallas,
                        fused_grid=not args.no_fused,
                        fused_stress=not args.no_fused,
-                       halo_cap=(4096 if args.halo else None))
+                       halo_cap=(4096 if args.halo else None),
+                       z_window=("auto" if args.halo else None))
     solver.add_surface_collider([0.0, 0.1, 0.0], [0.0, 1.0, 0.0])
     solver.add_mesh_collider(body_f, friction=0.5)
     solver.add_particle_mover()
@@ -184,7 +185,8 @@ def main():
             solver.adapt_row_cap(st)   # also adapts halo_cap when on
         else:
             solver.column_c_cap = args.row_cap
-        return run_for_cap((solver.column_c_cap, solver.halo_cap))(st)
+        return run_for_cap((solver.column_c_cap, solver.halo_cap,
+                            solver.z_window))(st)
 
     state, of = frame(state)                          # compile + warmup
     solver.check_overflow(of, "bench warmup frame")   # honest workload

@@ -298,7 +298,7 @@ def rasterize_to_grid(cfg: MPMStaticConfig, points, values, G3):
 def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
                          mesh_x, mesh_v, column_k: int = 0,
                          c_cap=None, use_pallas: bool = False,
-                         halo=None):
+                         halo=None, z_win=None):
     """Rasterize face-centroid velocity + normal to the grid — the splat
     half of apply_mesh_collider.  Returns (acc (G^3, 6), grid_w (G^3,),
     overflow ()); with ``halo`` the fields are packed (H*Gz, .) and
@@ -328,9 +328,10 @@ def mesh_collider_fields(cfg: MPMStaticConfig, col: MeshCollider,
         acc, grid_w, overflow = _pt.splat_columns_fused(
             cfg, jax.lax.stop_gradient(centroid),
             jax.lax.stop_gradient(vals), column_k, c_cap=c_cap,
-            halo=halo)
+            halo=halo, z_win=z_win)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
+        assert z_win is None, "z-window needs the Pallas column path"
         acc, grid_w, overflow = _ct.splat_columns(cfg, centroid, vals,
                                                   column_k, c_cap=c_cap,
                                                   halo=halo)
@@ -416,7 +417,7 @@ def joint_particle_fields(cfg: MPMStaticConfig, state: MPMState,
 def mover_fields(cfg: MPMStaticConfig, state: MPMState,
                  joint_verts_v=None, joint_faces_v=None,
                  joint_traditional_v=None, halo=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, z_win=None):
     """Prescribed joint-velocity splat — the scatter half of
     apply_particle_mover.  Returns (grid_vel (G^3, 3), grid_w (G^3,));
     with ``halo`` both are packed (H*Gz, .) via the column splat (the
@@ -444,7 +445,8 @@ def mover_fields(cfg: MPMStaticConfig, state: MPMState,
         vels.append(joint_faces_v)
     if not pts:
         if halo is not None:
-            n = halo.hcols.shape[0] * cfg.n_grid
+            g_z = z_win[1] if z_win is not None else cfg.n_grid
+            n = halo.hcols.shape[0] * g_z
             return (jnp.zeros((n, 3), dtype), jnp.zeros((n,), dtype))
         return (jnp.zeros((G3, 3), dtype), jnp.zeros((G3,), dtype))
     pts = jnp.concatenate(pts, 0)
@@ -456,9 +458,11 @@ def mover_fields(cfg: MPMStaticConfig, state: MPMState,
         if use_pallas:
             from ..ops.pallas_transfer import splat_columns_fused
             gv, gw, _ = splat_columns_fused(cfg, pts, vels, 8,
-                                            c_cap=c_cap, halo=halo)
+                                            c_cap=c_cap, halo=halo,
+                                            z_win=z_win)
         else:
             from ..ops.column_transfer import splat_columns
+            assert z_win is None, "z-window needs the Pallas column path"
             gv, gw, _ = splat_columns(cfg, pts, vels, 8, c_cap=c_cap,
                                       halo=halo)
         return gv, gw
@@ -468,13 +472,14 @@ def mover_fields(cfg: MPMStaticConfig, state: MPMState,
 def apply_particle_mover(cfg: MPMStaticConfig, state: MPMState, grid_v_out,
                          joint_verts_v=None, joint_faces_v=None,
                          joint_traditional_v=None, halo=None,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False, z_win=None):
     """Joint-band Dirichlet velocities (mpm_solver.py:661-802): scatter the
     prescribed joint velocities from the joint particles' positions, then
     overwrite grid velocity where the weight field is nonzero."""
     grid_vel, grid_w = mover_fields(cfg, state, joint_verts_v,
                                     joint_faces_v, joint_traditional_v,
-                                    halo=halo, use_pallas=use_pallas)
+                                    halo=halo, use_pallas=use_pallas,
+                                    z_win=z_win)
     covered = grid_w > 1e-15
     v = grid_vel / jnp.maximum(grid_w, 1e-15)[:, None]
     return jnp.where(covered[:, None], v, grid_v_out)
@@ -669,7 +674,7 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
                           "mesh_c_cap", "column_ztile",
                           "column_radius", "column_bf16", "column_pallas",
                           "fused_grid", "fused_stress", "halo_cap",
-                          "return_overflow"))
+                          "z_window", "return_overflow"))
 def p2g2p(cfg: MPMStaticConfig,
           colliders: ColliderSet,
           state: MPMState,
@@ -692,6 +697,7 @@ def p2g2p(cfg: MPMStaticConfig,
           fused_grid: Optional[bool] = None,
           fused_stress: Optional[bool] = None,
           halo_cap: Optional[int] = None,
+          z_window: Optional[int] = None,
           column_bins=None,
           column_halo=None,
           vf_incidence: Optional[jnp.ndarray] = None,
@@ -774,6 +780,34 @@ def p2g2p(cfg: MPMStaticConfig,
              and not column_pallas and column_bins is None)
     sparse = halo_cap is not None and halo_cap > 0 and column_k > 0
     assert not (sparse and ztile), "halo grid and z-tiles are exclusive"
+
+    # global z-window: restrict the grid's z extent to ``z_window``
+    # cells starting at the per-substep occupancy minimum.  All z-lane
+    # work (transfer bases, halo grid fields, splats) shrinks from G to
+    # Zw; the window origin is computed ON DEVICE (no host round trip)
+    # and particles whose 3-cell splat reach would exceed the window
+    # count into the overflow telemetry (exactness guard, like the
+    # column caps).  Out-of-window collider/mover writes drop exactly:
+    # no particle reads those cells.
+    z_win = None
+    z_overflow = jnp.zeros((), jnp.int32)
+    G_ = cfg.n_grid
+    from ..ops import pallas_grid_pipeline as _pgp
+    _pipeline_ok = (fused_grid
+                    and len(colliders.mesh_colliders) <= 1
+                    and _pgp.supported_bcs(colliders.grid_post))
+    if (z_window is not None and 0 < z_window < G_ and sparse
+            and column_pallas and _pipeline_ok):
+        zb = jnp.clip(jnp.floor(state.x[:, 2] * cfg.inv_dx
+                                - 0.5).astype(jnp.int32), 0, G_ - 1)
+        z_lo = jnp.clip(jnp.min(zb) - 1, 0, G_ - z_window)
+        z_overflow = jnp.maximum(jnp.max(zb) + 3 - (z_lo + z_window), 0)
+        z_shift = jax.lax.stop_gradient(
+            z_lo.astype(state.x.dtype) * cfg.dx)
+        z_win = (z_shift, z_window)
+    else:
+        z_lo = jnp.zeros((), jnp.int32)
+
     halo = None
     if column_k > 0:
         from ..ops import column_transfer as _ct
@@ -814,7 +848,7 @@ def p2g2p(cfg: MPMStaticConfig,
                 cfg, state, dt * sel[:nnv, None, None] * stress,
                 dt * vertex_force, column_k, bins=bins, c_eff=c_eff,
                 radius=column_radius, bf16=column_bf16, return_px=True,
-                halo=halo, mover=mover)
+                halo=halo, mover=mover, z_win=z_win)
             if fuse_mover:
                 grid_v_in, grid_m, fused_mv, fused_mw, px_t = outs
             else:
@@ -839,7 +873,7 @@ def p2g2p(cfg: MPMStaticConfig,
     overflow = bins.overflow if bins is not None else jnp.zeros((),
                                                                 jnp.int32)
     if halo is not None:
-        overflow = overflow + halo.overflow
+        overflow = overflow + halo.overflow + z_overflow
     has_mover = colliders.use_particle_mover and (
         joint_verts_v is not None or joint_faces_v is not None
         or joint_traditional_v is not None)
@@ -856,7 +890,7 @@ def p2g2p(cfg: MPMStaticConfig,
             acc, gw, mesh_of = mesh_collider_fields(
                 cfg, colliders.mesh_colliders[0], mesh_x, mesh_v,
                 column_k=mesh_column_k, c_cap=mesh_c_cap,
-                use_pallas=column_pallas, halo=halo)
+                use_pallas=column_pallas, halo=halo, z_win=z_win)
             overflow = overflow + mesh_of
             mesh_fric = colliders.mesh_colliders[0].friction
         else:
@@ -867,12 +901,14 @@ def p2g2p(cfg: MPMStaticConfig,
         elif has_mover:
             mv_, mw_ = mover_fields(cfg, state, joint_verts_v,
                                     joint_faces_v, joint_traditional_v,
-                                    halo=halo, use_pallas=column_pallas)
+                                    halo=halo, use_pallas=column_pallas,
+                                    z_win=z_win)
         else:
             mv_ = mw_ = None
         if halo is not None:
             from ..ops.column_transfer import halo_cell_ids
-            n_cells = halo.hcols.shape[0] * cfg.n_grid
+            g_z = z_win[1] if z_win is not None else cfg.n_grid
+            n_cells = halo.hcols.shape[0] * g_z
             pipeline = _pgp.make_grid_pipeline(
                 cfg, colliders.grid_post, has_mesh=has_mesh,
                 has_mover=has_mover, n_cells=n_cells)
@@ -880,7 +916,7 @@ def p2g2p(cfg: MPMStaticConfig,
                 grid_v_in, grid_m, acc, gw, mv_, mw_, model.gravity,
                 model.grid_v_damping_scale, mesh_fric, time, dt,
                 _pgp.pack_surface_params(colliders.grid_post),
-                cell_ids=halo_cell_ids(halo, cfg.n_grid))
+                cell_ids=halo_cell_ids(halo, cfg.n_grid, z_lo, g_z))
         else:
             pipeline = _pgp.make_grid_pipeline(
                 cfg, colliders.grid_post, has_mesh=has_mesh,
@@ -890,6 +926,8 @@ def p2g2p(cfg: MPMStaticConfig,
                 model.grid_v_damping_scale, mesh_fric, time, dt,
                 _pgp.pack_surface_params(colliders.grid_post))
     else:
+        assert z_win is None, (
+            "z-window supports the fused grid pipeline path only")
         grid_v_out = grid_update(cfg, model, grid_v_in, grid_m, dt)
         for mc in colliders.mesh_colliders:
             grid_v_out, mesh_of = apply_mesh_collider(
@@ -928,7 +966,7 @@ def p2g2p(cfg: MPMStaticConfig,
                                          column_k, bins=bins,
                                          radius=column_radius,
                                          bf16=column_bf16, px_t=px_t,
-                                         halo=halo)
+                                         halo=halo, z_win=z_win)
     elif column_k > 0:
         from ..ops import column_transfer as _ct
         gathered = _ct.g2p_columns(cfg, state, grid_v_out, column_k,

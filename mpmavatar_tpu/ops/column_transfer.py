@@ -423,32 +423,41 @@ def count_halo(x: jnp.ndarray, cfg: MPMStaticConfig, radius: int):
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def count_rows_and_halo(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
                         ztile: bool, radius: int):
-    """Fused per-frame cap probe: (2,) int32 [pack rows, halo columns].
+    """Fused per-frame cap probe: (4,) int32
+    [pack rows, halo columns, z base-cell min, z base-cell max].
 
     One device computation and ONE host transfer — on a tunneled
     runtime each separate readback costs a full round trip (~40 ms),
     which dominates an otherwise ~17 ms/substep frame when probed
     per frame."""
+    zb = jnp.clip(jnp.floor(x[:, 2] * cfg.inv_dx - 0.5).astype(jnp.int32),
+                  0, cfg.n_grid - 1)
     return jnp.stack([count_rows(x, cfg, K, ztile),
-                      count_halo(x, cfg, radius)])
+                      count_halo(x, cfg, radius),
+                      jnp.min(zb), jnp.max(zb)])
 
 
-def halo_cell_ids(halo: HaloGrid, G: int):
+def halo_cell_ids(halo: HaloGrid, G: int, z_lo=0, g_z=None):
     """Dense flat cell id per packed cell, (H*Gz,) int32 (pad rows get
-    ids >= G^3 — they carry zero mass and are never gathered)."""
-    return (halo.hcols[:, None] * G
-            + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
+    ids >= G^3 — they carry zero mass and are never gathered).  With a
+    z-window, Gz = ``g_z`` cells starting at absolute cell ``z_lo``."""
+    g_z = G if g_z is None else g_z
+    return (halo.hcols[:, None] * G + z_lo
+            + jnp.arange(g_z, dtype=jnp.int32)[None, :]).reshape(-1)
 
 
-def halo_coords(halo: HaloGrid, cfg: MPMStaticConfig, dtype):
+def halo_coords(halo: HaloGrid, cfg: MPMStaticConfig, dtype,
+                z_lo=0, g_z=None):
     """(idx (H*Gz, 3) int32, pos (H*Gz, 3)) for the packed halo grid —
-    the sparse sibling of stepping._grid_coords for grid BCs."""
+    the sparse sibling of stepping._grid_coords for grid BCs.  ``idx``
+    holds ABSOLUTE cell coordinates also under a z-window."""
     G = cfg.n_grid
+    g_z = G if g_z is None else g_z
     hx = (halo.hcols // G).astype(jnp.int32)
     hy = (halo.hcols % G).astype(jnp.int32)
-    z = jnp.arange(G, dtype=jnp.int32)
-    idx = jnp.stack([jnp.repeat(hx, G),
-                     jnp.repeat(hy, G),
+    z = z_lo + jnp.arange(g_z, dtype=jnp.int32)
+    idx = jnp.stack([jnp.repeat(hx, g_z),
+                     jnp.repeat(hy, g_z),
                      jnp.tile(z, halo.hcols.shape[0])], -1)
     return idx, idx.astype(dtype) * cfg.dx
 

@@ -362,11 +362,30 @@ def pack_positions(state, bins: ColumnBins):
                           fill=-1e6).transpose(0, 2, 1)
 
 
+def _zwin_shift(px_t, z_win):
+    """Shift packed z into the window frame: z' = z - z_lo*dx.
+
+    ``z_win = (z_shift scalar, Zw static int)`` restricts the grid's z
+    extent to Zw cells starting at the per-substep window origin — the
+    kernels then build their z basis over Zw lanes instead of G.  Base
+    cells land exactly at base - z_lo (the fractional part is shift-
+    invariant), so the windowed transfer is bit-identical to the full
+    one whenever the particle reach fits the window (the caller counts
+    coverage overflow).  Sentinel slots (fill -1e6) stay far negative."""
+    if z_win is None:
+        return px_t
+    z_shift, _ = z_win
+    off = jnp.stack([jnp.zeros_like(z_shift), jnp.zeros_like(z_shift),
+                     z_shift]).reshape(1, 3, 1)
+    return px_t - off
+
+
 def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
                       K: int, bins: ColumnBins, c_eff=None,
                       radius: int = 1, bf16: bool = False,
                       block_c: int = 8, interpret=None, px_t=None,
-                      return_px: bool = False, halo=None, mover=None):
+                      return_px: bool = False, halo=None, mover=None,
+                      z_win=None):
     """Fused-Pallas p2g_columns (same contract; geometry built in VMEM).
 
     ``stress``/``vertex_force`` pre-scaled by dt*selection as in
@@ -379,6 +398,8 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     stepping.mover_fields splat."""
     if interpret is None:
         interpret = _interpret_default()
+    assert z_win is None or halo is not None, \
+        "the z-window needs the packed halo grid"
     block_c = _pick_block(bins.pid.shape[0], block_c)
     E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
     P, G, dx = cfg.n_particles, cfg.n_grid, cfg.dx
@@ -422,12 +443,14 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
     shifts = tuple(shift_set(radius))
-    out = _p2g_fused(px_t, pattr_t, colxy_f, float(cfg.inv_dx),
-                     float(dx), G, shifts, bf16, block_c, interpret)
+    g_z = z_win[1] if z_win is not None else G
+    out = _p2g_fused(_zwin_shift(px_t, z_win), pattr_t, colxy_f,
+                     float(cfg.inv_dx), float(dx), g_z, shifts, bf16,
+                     block_c, interpret)
     S = len(shifts)
     nch = 8 if mover is not None else 4
-    # (C, nS, G) lane-aligned kernel layout -> (C, G, n, S) scatter layout
-    out = out.reshape(pid.shape[0], nch, S, G).transpose(0, 3, 1, 2)
+    # (C, nS, Gz) lane-aligned kernel layout -> (C, Gz, n, S) scatter layout
+    out = out.reshape(pid.shape[0], nch, S, g_z).transpose(0, 3, 1, 2)
     grid = _scatter_columns(out, bins, G, nch, radius,
                             halo=halo).reshape(-1, nch)
     rets = (grid[:, :3], grid[:, 3])
@@ -441,21 +464,25 @@ def p2g_columns_fused(cfg: MPMStaticConfig, state, stress, vertex_force,
 def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
                       bins: ColumnBins, radius: int = 1,
                       bf16: bool = False, block_c: int = 8,
-                      interpret=None, px_t=None, halo=None):
+                      interpret=None, px_t=None, halo=None, z_win=None):
     """Fused-Pallas g2p_columns: returns (new_v, new_C, grad_v) in
     original particle order (same contract as column_transfer).  With
-    ``halo``, ``grid_v_out`` is the packed (H*Gz, 3) halo grid."""
+    ``halo``, ``grid_v_out`` is the packed (H*Gz, 3) halo grid
+    (Gz = z_win[1] when windowed)."""
     if interpret is None:
         interpret = _interpret_default()
+    assert z_win is None or halo is not None, \
+        "the z-window needs the packed halo grid"
     block_c = _pick_block(bins.pid.shape[0], block_c)
     G, P = cfg.n_grid, cfg.n_particles
+    g_z = z_win[1] if z_win is not None else G
     dtype = state.x.dtype
     pid = bins.pid
     C_cap = pid.shape[0]
     shifts = tuple(shift_set(radius))
     S = len(shifts)
 
-    grid = grid_v_out.reshape(-1, G, 3)
+    grid = grid_v_out.reshape(-1, g_z, 3)
     nrows = grid.shape[0]
     # clip-gather + mask instead of a sentinel row (the concat copies
     # the whole grid to add one zero row)
@@ -466,15 +493,15 @@ def g2p_columns_fused(cfg: MPMStaticConfig, state, grid_v_out, K: int,
     good = (tcols < nrows)[..., None, None].astype(dtype)
     gcols = grid[jnp.clip(tcols, 0, nrows - 1)] * good    # (C, S, Gz, 3)
     # channel-major rows (n = ch*S + s), grid z on lanes
-    g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, G)
+    g_all = gcols.transpose(0, 3, 1, 2).reshape(C_cap, 3 * S, g_z)
 
     if px_t is None:
         px_t = pack_positions(state, bins)                # (C, 3, K)
     col = bins.active_col
     colxy_f = jnp.stack([col // G, col % G], -1).astype(dtype)
 
-    packed = _g2p_fused(px_t, g_all, colxy_f, float(cfg.inv_dx), G,
-                        shifts, bf16, block_c,
+    packed = _g2p_fused(_zwin_shift(px_t, z_win), g_all, colxy_f,
+                        float(cfg.inv_dx), g_z, shifts, bf16, block_c,
                         interpret).transpose(0, 2, 1)     # (C, K, 21)
 
     cidx = bins.cidx_of_p
@@ -533,17 +560,26 @@ def _splat_math(px_t, vals_t, colxy, inv_dx, G, shifts):
 
 def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
                         bounds_check: bool = True, c_cap=None,
-                        block_c: int = 8, interpret=None, halo=None):
+                        block_c: int = 8, interpret=None, halo=None,
+                        z_win=None):
     """Fused-Pallas sibling of column_transfer.splat_columns (same
     contract): returns (grid_vals (G^3, CH), grid_w (G^3,), overflow).
 
     Forward-only (the mesh-collider splat consumes mesh_x/mesh_v which
     are rollout inputs, not trained parameters) — grid BCs stop
-    gradients at the grid in the reference semantics too."""
+    gradients at the grid in the reference semantics too.
+
+    With ``z_win`` contributions below/above the window never match the
+    Zw-lane z basis and drop exactly — physically irrelevant, since the
+    coverage check guarantees every cell a particle reads is inside the
+    window (same argument as dropping non-halo columns)."""
     from .column_transfer import build_bins, default_col_cap
     if interpret is None:
         interpret = _interpret_default()
+    assert z_win is None or halo is not None, \
+        "the z-window needs the packed halo grid"
     G = cfg.n_grid
+    g_z = z_win[1] if z_win is not None else G
     Cch = values.shape[-1]
     bins = build_bins(points, cfg, K, c_cap=c_cap)
     pid = bins.pid
@@ -562,7 +598,7 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
                           - 0.5).astype(jnp.int32)
         inb = jnp.all((pbase >= 0) & (pbase < G - 3), axis=-1)
         ok = ok * inb.astype(points.dtype)
-    px_t = both[..., :3].transpose(0, 2, 1)
+    px_t = _zwin_shift(both[..., :3].transpose(0, 2, 1), z_win)
     vals_t = (both[..., 3:] * ok[..., None]
               ).transpose(0, 2, 1)                        # (C, CH+1, K)
     col = bins.active_col
@@ -574,8 +610,8 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
 
     def kernel(px_ref, v_ref, col_ref, out_ref):
         out = _splat_math(px_ref[...], v_ref[...], col_ref[...],
-                          float(cfg.inv_dx), G, shifts)
-        out_ref[...] = out.reshape(block_c * CH * S, G)
+                          float(cfg.inv_dx), g_z, shifts)
+        out_ref[...] = out.reshape(block_c * CH * S, g_z)
 
     out = pl.pallas_call(
         kernel,
@@ -588,12 +624,13 @@ def splat_columns_fused(cfg: MPMStaticConfig, points, values, K: int,
             pl.BlockSpec((block_c, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_c * CH * S, G), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_c * CH * S, g_z), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C_cap * CH * S, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_cap * CH * S, g_z),
+                                       jnp.float32),
         interpret=interpret,
     )(px_t, vals_t, colxy_f)
-    out = out.reshape(C_cap, CH, S, G).transpose(0, 3, 1, 2)
+    out = out.reshape(C_cap, CH, S, g_z).transpose(0, 3, 1, 2)
     shalo = None
     if halo is not None:
         shalo = halo._replace(

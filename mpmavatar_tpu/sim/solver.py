@@ -52,7 +52,7 @@ class MPMSolver:
                  rebin_auto: bool = False, column_pallas=None,
                  column_ztile: bool = False,
                  fused_grid=None, fused_stress=None,
-                 halo_cap=None):
+                 halo_cap=None, z_window=None):
         """``column_k > 0`` enables the scatter-free column-packed MXU
         transfer path (ops.column_transfer) with that per-column slot
         capacity; ``faces`` (garment topology) enables the gather-based
@@ -61,7 +61,15 @@ class MPMSolver:
         ``halo_cap > 0`` enables the PACKED halo ("sparse") grid: grid
         fields live only on the dilated active-column set, so grid
         passes scale with the scene, not G^2 (adapt per frame with
-        adapt_row_cap / size once with calibrate_caps)."""
+        adapt_row_cap / size once with calibrate_caps).
+
+        ``z_window`` (cells, < n_grid) further restricts the grid's z
+        extent to a per-substep sliding window over the occupied z
+        band — z-lane compute becomes G-independent (the production
+        200^3/250^3 grids occupy a half-height band).  Adapted from its
+        own ladder by adapt_row_cap/calibrate_caps; exactness is
+        guarded by overflow telemetry like the column caps.  Pallas
+        halo path only."""
         self.cfg = cfg
         self.colliders = ColliderSet()
         self.column_k = column_k
@@ -69,6 +77,11 @@ class MPMSolver:
         self.mesh_c_cap = mesh_c_cap
         self.column_c_cap = column_c_cap
         self.halo_cap = halo_cap
+        # z_window: None = off, int = fixed, "auto" = sized per frame
+        # by adapt_row_cap / once by calibrate_caps from the probed
+        # occupied z band
+        self._z_auto = z_window == "auto"
+        self.z_window = None if self._z_auto else z_window
         self.column_radius = column_radius
         self.rebin_every = rebin_every
         self.rebin_auto = rebin_auto
@@ -258,6 +271,7 @@ class MPMSolver:
                               fused_grid=self.fused_grid,
                               fused_stress=self.fused_stress,
                               halo_cap=self.halo_cap,
+                              z_window=self.z_window,
                               vf_incidence=self.vf_incidence, **scene)
 
     def frame(self, state: MPMState, model: MPMModel, dt: float,
@@ -331,6 +345,7 @@ class MPMSolver:
                                        fused_grid=self.fused_grid,
                                        fused_stress=self.fused_stress,
                                        halo_cap=self.halo_cap,
+                                       z_window=self.z_window,
                                        column_bins=bins,
                                        column_halo=halo,
                                        vf_incidence=self.vf_incidence,
@@ -356,10 +371,29 @@ class MPMSolver:
             return state, time, overflow
         return state, time
 
-    _CAP_LADDER = (1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384,
-                   24576, 32768)
+    _CAP_LADDER = (1536, 2048, 2560, 3072, 3584, 4096, 5120, 6144,
+                   8192, 12288, 16384, 24576, 32768)
     _HALO_LADDER = (1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
                     16384, 24576, 32768, 49152, 65536)
+    # z-window rungs: half-lane-tile steps — a partial 128-lane tile
+    # pads back up inside the transfer matmuls, but every (H, Zw, ch)
+    # grid array, splat fold and G2P gather shrinks with Zw itself
+    # (matters when G is just above a full tile, e.g. 250 vs 192)
+    _ZWIN_LADDER = (64, 128, 192, 256, 320, 384, 448, 512, 768, 1024)
+
+    def _pick_z_window(self, zmin: int, zmax: int,
+                       headroom_cells: int = 8):
+        """Smallest ladder window covering the occupied z band (+3-cell
+        splat reach +headroom for intra-frame drift).  The window origin
+        re-centers every substep, so only band GROWTH between probes
+        needs slack — at MPM-stable dt that is ~1 cell per frame, and
+        the in-graph coverage overflow fails loud if a probe gap is
+        ever outrun.  None when no rung below n_grid fits."""
+        want = (zmax - zmin + 4) + headroom_cells
+        for w in self._ZWIN_LADDER:
+            if w >= want:
+                return w if w < self.cfg.n_grid else None
+        return None
 
     def _pick_halo_cap(self, n_halo: int, headroom: float):
         g2 = self.cfg.n_grid * self.cfg.n_grid
@@ -391,6 +425,9 @@ class MPMSolver:
                 self.column_radius))
             rows = int(probe[0])
             self.halo_cap = self._pick_halo_cap(int(probe[1]), headroom)
+            if self._z_auto and self.column_pallas:
+                self.z_window = self._pick_z_window(int(probe[2]),
+                                                    int(probe[3]))
         else:
             rows = int(_ct.count_rows(state.x, self.cfg, self.column_k,
                                       ztile))
@@ -425,15 +462,24 @@ class MPMSolver:
         if xs is not None and self.column_k > 0:
             rows = 0
             n_halo = 0
+            zmin, zmax = self.cfg.n_grid, 0
             xs = list(xs)
             for x in xs[::max(1, sample_every)]:
-                rows = max(rows, int(_ct.count_rows(
-                    jnp.asarray(x), self.cfg, self.column_k, ztile)))
                 if (self.halo_cap or 0) > 0:
-                    n_halo = max(n_halo, int(_ct.count_halo(
-                        jnp.asarray(x), self.cfg, self.column_radius)))
+                    probe = np.asarray(_ct.count_rows_and_halo(
+                        jnp.asarray(x), self.cfg, self.column_k, ztile,
+                        self.column_radius))
+                    rows = max(rows, int(probe[0]))
+                    n_halo = max(n_halo, int(probe[1]))
+                    zmin = min(zmin, int(probe[2]))
+                    zmax = max(zmax, int(probe[3]))
+                else:
+                    rows = max(rows, int(_ct.count_rows(
+                        jnp.asarray(x), self.cfg, self.column_k, ztile)))
             if (self.halo_cap or 0) > 0:
                 self.halo_cap = self._pick_halo_cap(n_halo, headroom)
+                if self._z_auto and self.column_pallas:
+                    self.z_window = self._pick_z_window(zmin, zmax)
             want = int(rows * headroom)
             for cap in self._CAP_LADDER:
                 if cap >= want:

@@ -120,6 +120,28 @@ def test_halo_full_substep_parity_pallas():
                                atol=2e-5)
 
 
+def test_halo_z_window_parity():
+    """Sliding z-window (grid z extent restricted to the occupied band)
+    on the Pallas halo path matches the dense path exactly; coverage is
+    guarded by the overflow counter."""
+    cfg, state, model, faces, bv, bf = _scene(nx=8, grid=32)
+    kw = dict(column_pallas=True)
+    ref, of0 = _run(cfg, state, model, faces, bv, bf, n_frames=2,
+                    substeps=5, **kw)
+    out, of1 = _run(cfg, state, model, faces, bv, bf, n_frames=2,
+                    substeps=5, halo_cap=1024, z_window=16, **kw)
+    assert of0 == 0 and of1 == 0
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               atol=2e-5)
+
+    # a window too small for the occupied band fails loud via overflow
+    _, of_small = _run(cfg, state, model, faces, bv, bf, n_frames=1,
+                       substeps=2, halo_cap=1024, z_window=4, **kw)
+    assert of_small > 0
+
+
 def test_halo_with_sand_and_fallback_bcs():
     """Mixed cloth+sand scene (traditional block) + a grid BC the fused
     pipeline does NOT support, forcing the sparse XLA fallback path
