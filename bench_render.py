@@ -71,20 +71,22 @@ def main(quiet=False, iters=10):
     cov3d_big = covariance_from_scaling_rotation(big_scales, 1.0, rots)
 
     def render_big(xyz):
-        # every gaussian is big -> the mid/big instance pools must
-        # cover the full population (their defaults assume the trained
-        # avatar's mostly-small footprint distribution), and the
-        # compacted worklist (Pallas segment kernel) pays only real
-        # instances instead of tiles x capacity
-        # chunk=128 fills the segment kernel's sublane axis and cuts the
-        # worklist 4x (fewer per-item gathers, 5 combine-scan steps)
-        # max_tiles_per_gauss sizes only the giant-footprint tail tier
-        # (most big splats fit the 8x8 tier); rect clipping counts into
-        # big_overflow so the zero-overflow assert guards the sizing
+        # every gaussian is big -> explicit footprint tiers sized from
+        # the measured span distribution (scripts/profile_render.py:
+        # span 5-6 dominates) — the default tiers assume the trained
+        # avatar's mostly-small population and make the instance sort
+        # 1.8x larger than needed.  chunk=128 fills the segment
+        # kernel's sublane axis; stop_eps=1e-3 is the tile-granular
+        # version of the reference CUDA rasterizer's per-pixel early
+        # termination (T < 1e-4) — measured max image error 7.7e-4,
+        # under 8-bit quantization — and lets work_cap drop to 4096
+        # (zero overflow, asserted below).
         out = rasterize(xyz, colors, opac, cov3d_big, ca, jnp.zeros(3),
                         width=w, height=h, tile_capacity=4096,
                         max_tiles_per_gauss=196, chunk=128,
-                        work_cap=32768, mid_capacity=n, big_capacity=n)
+                        work_cap=4096, stop_eps=1e-3,
+                        tiers=((2, None), (4, 9216), (6, 38912),
+                               (8, 13312), (14, 768)))
         return out["render"], out["work_overflow"], out["big_overflow"]
 
     rjb = jax.jit(render_big)

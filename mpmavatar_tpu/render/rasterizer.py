@@ -109,7 +109,7 @@ def project_gaussians(means3d, cov3d, cam: CameraArrays, width: int,
 
 def _sorted_instances(means2d, depth, radius, valid, width, height,
                       max_tiles_per_gauss: int,
-                      mid_capacity=None, big_capacity=None):
+                      mid_capacity=None, big_capacity=None, tiers=None):
     """(tile, depth)-sorted gaussian instances (no dense table).
 
     Returns (tile_sorted (I,), gauss_sorted (I,), edges (T+2,),
@@ -121,6 +121,16 @@ def _sorted_instances(means2d, depth, radius, valid, width, height,
     multi-operand ``lax.sort``; when (T+1)*(N+1) fits int32 the key
     packs (tile, depth-rank) into a single operand — measurably cheaper
     than the 2-key lexicographic sort at multi-million instance counts.
+
+    ``tiers``: optional ascending ((side, capacity), ...) overriding the
+    default footprint tiers — the sort size is the sum of side² x
+    capacity slots, so matching tier sides/capacities to the measured
+    footprint distribution (see scripts/profile_render.py) shrinks the
+    dominant cost for heavy-splat populations.  ``capacity=None`` means
+    all N gaussians.  The first tier admits everyone; tier i>0 admits
+    (up to capacity) the gaussians whose rect exceeds tier i-1's side.
+    Stragglers degrade to the previous tier's coverage; rects wider
+    than the last side lose outer tiles; both count into big_overflow.
     """
     n = means2d.shape[0]
     tiles_x = (width + TILE - 1) // TILE
@@ -137,17 +147,16 @@ def _sorted_instances(means2d, depth, radius, valid, width, height,
     rect_max_y = jnp.clip(((means2d[:, 1] + radius + TILE - 1) / TILE
                            ).astype(jnp.int32), 0, tiles_y)
 
-    # three instance tiers by footprint: most gaussians span <= 2x2
-    # tiles, so giving every gaussian the worst-case side^2 slots makes
-    # the (tile, depth) sort ~9x larger than needed.  Tiers: <= 2x2 -> 4
-    # slots (everyone), <= 4x4 -> the mid pool (16 slots), larger -> the
-    # big pool (side^2 slots).  Pool stragglers degrade to the previous
-    # tier's coverage instead of vanishing; big_overflow counts them.
+    # instance tiers by footprint: most gaussians span <= 2x2 tiles, so
+    # giving every gaussian the worst-case side^2 slots makes the
+    # (tile, depth) sort ~9x larger than needed.  Default tiers:
+    # <= 2x2 -> 4 slots (everyone), <= 4x4 -> the mid pool (16 slots),
+    # larger -> the big pool (side^2 slots, split 8/side when side > 8).
+    # Pool stragglers degrade to the previous tier's coverage instead of
+    # vanishing; big_overflow counts them.
     ok_g = valid & (radius > 0)
     w_t = rect_max_x - rect_min_x
     h_t = rect_max_y - rect_min_y
-    over2 = ok_g & ((w_t > 2) | (h_t > 2))
-    over4 = ok_g & ((w_t > 4) | (h_t > 4))
 
     packed_key = (num_tiles + 1) * (n + 1) < 2 ** 31
     if packed_key:
@@ -189,31 +198,49 @@ def _sorted_instances(means2d, depth, radius, valid, width, height,
     # a mostly-small population (trained avatar splats); stragglers
     # degrade to the previous tier's coverage and big_overflow counts
     # them — callers raise the capacities when it is nonzero.
-    mid_capacity = min(n, max(256, n // 4) if mid_capacity is None
-                       else mid_capacity)
-    big_capacity = min(n, max(256, n // 16) if big_capacity is None
-                       else big_capacity)
-    mid_idx, in_mid, mid_over = top_pool(over2, mid_capacity)
-    big_idx, in_big, big_over = top_pool(over4, big_capacity)
-    pools = [(jnp.arange(n), 2, ok_g & ~in_mid & ~in_big),
-             (mid_idx, 4, in_mid & ~in_big)]
-    if side > 8:
-        # giant-footprint tail tier: most >4x4 rects still fit 8x8, so
-        # giving every big-pool member the worst-case side^2 slots
-        # would double the sort; only the (rect > 8) tail pays side^2
-        over8 = ok_g & ((w_t > 8) | (h_t > 8))
-        huge_idx, in_huge, huge_over = top_pool(
-            over8, min(n, max(256, n // 32)))
-        pools += [(big_idx, 8, in_big & ~in_huge),
-                  (huge_idx, side, in_huge)]
-    else:
-        huge_over = 0
-        pools += [(big_idx, side, in_big)]
+    if tiers is None:
+        mid_capacity = min(n, max(256, n // 4) if mid_capacity is None
+                           else mid_capacity)
+        big_capacity = min(n, max(256, n // 16) if big_capacity is None
+                           else big_capacity)
+        tiers = ((2, None), (4, mid_capacity))
+        if side > 8:
+            # giant-footprint tail tier: most >4x4 rects still fit 8x8,
+            # so giving every big-pool member the worst-case side^2
+            # slots would double the sort; only the (rect > 8) tail
+            # pays side^2
+            tiers += ((8, big_capacity),
+                      (side, min(n, max(256, n // 32))))
+        else:
+            tiers += ((side, big_capacity),)
+    sides = [int(s) for s, _ in tiers]
+    assert sides == sorted(sides), "tiers must be ascending by side"
+    top_side = sides[-1]
+
+    # tier membership, highest first: a gaussian whose rect exceeds
+    # tier i-1's side belongs to tier i (capacity permitting); members
+    # of a higher tier never emit in a lower one
+    members = [None] * len(tiers)
+    idxs = [jnp.arange(n)] + [None] * (len(tiers) - 1)
+    in_higher = jnp.zeros((n,), bool)
+    over_total = jnp.zeros((), jnp.int32)
+    for i in range(len(tiers) - 1, 0, -1):
+        cap_i = tiers[i][1]
+        cap_i = n if cap_i is None else min(n, max(8, int(cap_i)))
+        flag = (ok_g & ~in_higher
+                & ((w_t > sides[i - 1]) | (h_t > sides[i - 1])))
+        idx_i, in_i, over_i = top_pool(flag, cap_i)
+        idxs[i] = idx_i
+        members[i] = in_i & ~in_higher
+        in_higher = in_higher | in_i
+        over_total = over_total + over_i
+    members[0] = ok_g & ~in_higher
+    pools = [(idxs[i], sides[i], members[i]) for i in range(len(tiers))]
     # rects larger than the top tier's side x side window lose their
-    # outer tiles — count them so callers can size max_tiles_per_gauss
+    # outer tiles — count them so callers can size the last tier
     # tightly without silent coverage loss
-    clipped = ok_g & ((w_t > side) | (h_t > side))
-    big_overflow = mid_over + big_over + huge_over + jnp.sum(clipped)
+    clipped = ok_g & ((w_t > top_side) | (h_t > top_side))
+    big_overflow = over_total + jnp.sum(clipped)
 
     emitted = [pool(*p) for p in pools]
     gauss_id = jnp.concatenate([g for _, g in emitted])
@@ -359,26 +386,57 @@ def _composite(table, means2d, conic, colors, opacities, width, height,
     return img[:, :height, :width], alpha_map[:, :height, :width]
 
 
+def _chunk_windows(pp, item_start, chunk: int):
+    """Chunk-wide windows of a chunk-row-blocked stream at arbitrary
+    offsets.  ``pp`` is (R, ..., chunk) — the stream split into R rows
+    of ``chunk`` consecutive entries on the LAST axis.  A (W, chunk)
+    element-gather costs ~7 ns/element on v5e (~30 ms at 4M instances);
+    instead gather two chunk-wide ROWS per item (row gathers are ~30x
+    cheaper per byte) and align the window with log2(chunk) static
+    lane-rotates selected by the bits of the per-item offset."""
+    row = jnp.clip(item_start // chunk, 0, pp.shape[0] - 2)
+    off = item_start % chunk
+    win = jnp.concatenate([pp[row], pp[row + 1]], axis=-1)
+    shape1 = (-1,) + (1,) * (win.ndim - 2)                # bcast off
+    k = 1
+    while k < chunk:
+        win = jnp.where(((off & k) != 0).reshape(shape1 + (1,)),
+                        jnp.roll(win, -k, axis=-1), win)
+        k *= 2
+    return win[..., :chunk]
+
+
 def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
                         opacities, width, height, bg, chunk: int = 32,
-                        work_cap: int = 16384, tile_capacity: int = 512):
+                        work_cap: int = 16384, tile_capacity: int = 512,
+                        stop_eps: float = 0.0, instance_cap: int = 0):
     """Front-to-back compositing over a compacted (tile, chunk) worklist.
 
-    Work scales with the number of REAL instances (sum of per-tile
-    ceil(count/chunk)) instead of tiles*capacity: each work item
-    composites one chunk of one tile into a segment (color, transmittance)
-    — segments of the same tile then combine in depth order with the
-    associative rule (c, t) o (c', t') = (c + t*c', t*t').  Exact for any
-    tile-density distribution (unlike the two-tier heuristic); items
-    beyond ``work_cap`` are dropped (telemetry: third return value).
+    Two phases.  Phase 1 composites the first ``chunk`` instances of
+    EVERY tile — a dense (T, chunk) batch with no worklist indexing.
+    Phase 2 builds a compacted worklist over only the tiles that still
+    have instances left, composites one (tile, chunk) item per row and
+    combines same-tile segments in depth order with the associative
+    rule (c, t) o (c', t') = (c + t*c', t*t') via a segmented
+    Hillis-Steele doubling scan, then folds into phase 1's segments.
+    Work therefore scales with the number of REAL instances (sum of
+    per-tile ceil(count/chunk)); phase-2 items beyond ``work_cap`` are
+    dropped (telemetry: third return value).
+
+    ``stop_eps > 0`` skips a tile's phase-2 chunks once ALL its pixels'
+    transmittance fell below the threshold after phase 1 — the tile-
+    granular version of the reference CUDA rasterizer's per-pixel early
+    termination (renderCUDA stops a pixel at T < 1e-4), dropping only
+    contributions weighted below ``stop_eps``.  0 disables (exact).
 
     Consumes the sorted instance layout directly (instances of a tile
     are contiguous in ``gauss_sorted``) — no dense (T, K) table exists
-    on this path — and combines same-tile segments with a segmented
-    Hillis-Steele doubling scan: ceil(log2(max_items)) shifted
-    elementwise passes over the (W, nc+1, 256) segments instead of a
-    max_items-deep gather loop.
+    on this path.  (A pre-gathered packed-parameter stream with
+    window reads was measured SLOWER on v5e: rotating (W, D, 2*chunk)
+    windows into alignment costs 3x the per-item row gathers it
+    replaces — gathers here are ~2.4 ns/row.)
     """
+    del instance_cap                                       # retired knob
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
@@ -389,9 +447,55 @@ def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
 
     starts = edges[:num_tiles]
     counts = jnp.minimum(edges[1:num_tiles + 1] - starts, cap)
-    items_per_tile = (counts + chunk - 1) // chunk
+
+    pad_i = (-gauss_sorted.shape[0]) % chunk + chunk
+    gs2 = jnp.concatenate(
+        [gauss_sorted,
+         jnp.full((pad_i,), n, gauss_sorted.dtype)]).reshape(-1, chunk)
+    # ONE packed id-gather per phase (gathers are row-latency-bound:
+    # four separate per-array gathers quadruple the dominant cost)
+    # feeding the Pallas segment kernel, whose intermediates live in
+    # VMEM — an XLA formulation materialized (W, 256, chunk) tensors in
+    # HBM and made large work caps uncompilable.  Sentinel id n hits
+    # the pad row (opacity 0 -> alpha 0).
+    pad = jnp.zeros((1, 6 + nc), means2d.dtype).at[0, 0:2].set(-1e6)
+    packed = jnp.concatenate(
+        [jnp.concatenate([means2d, conic, colors,
+                          opacities.reshape(-1, 1)], -1), pad], 0)
+    t_idx = jnp.arange(num_tiles)
+    tile_x0 = (t_idx % tiles_x) * TILE
+    tile_y0 = (t_idx // tiles_x) * TILE
+    pix0_all = jnp.stack([tile_x0, tile_y0], -1).astype(means2d.dtype)
+
+    from .pallas_composite import pick_block, segment_composite
+    interp = jax.default_backend() != "tpu"
+
+    # ---- phase 1: first chunk of every tile --------------------------
+    ids1 = _chunk_windows(gs2, starts, chunk)              # (T, chunk)
+    ids1 = jnp.where(jnp.arange(chunk)[None, :] < counts[:, None],
+                     ids1, n)
+    tp = (-num_tiles) % 8                                  # kernel block
+    pgT1 = packed[ids1].transpose(0, 2, 1)                 # (T, D, chunk)
+    if tp:
+        pgT1 = jnp.concatenate(
+            [pgT1, jnp.broadcast_to(packed[n][None, :, None],
+                                    (tp,) + pgT1.shape[1:])], 0)
+        pix1 = jnp.concatenate([pix0_all,
+                                jnp.zeros((tp, 2), pix0_all.dtype)], 0)
+    else:
+        pix1 = pix0_all
+    seg1 = segment_composite(pgT1, pix1, nc,
+                             pick_block(num_tiles + tp), interp)
+    c1 = seg1[:num_tiles, :nc]                             # (T, nc, P)
+    t1 = seg1[:num_tiles, nc]                              # (T, P)
+
+    # ---- phase 2: remaining chunks, compacted worklist ---------------
+    rem = jnp.maximum((counts + chunk - 1) // chunk - 1, 0)
+    if stop_eps > 0.0:
+        alive = jnp.max(t1, axis=-1) >= stop_eps
+        rem = jnp.where(alive, rem, 0)
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(items_per_tile).astype(jnp.int32)])
+                            jnp.cumsum(rem).astype(jnp.int32)])
     n_items = offs[-1]
     overflow = jnp.maximum(n_items - work_cap, 0)
 
@@ -399,62 +503,26 @@ def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
     item_tile = jnp.clip(
         jnp.searchsorted(offs, w_ids, side="right") - 1, 0, num_tiles - 1)
     valid_item = w_ids < n_items
-    ordinal = jnp.clip(w_ids - offs[item_tile], 0, max_items - 1)
-
+    ordinal = jnp.clip(w_ids - offs[item_tile], 0,
+                       max(max_items - 2, 0)) + 1          # chunks 1..
     pos = ordinal[:, None] * chunk + jnp.arange(chunk)[None, :]
     in_tile = valid_item[:, None] & (pos < counts[item_tile][:, None])
+    item_start = starts[item_tile] + ordinal * chunk       # (W,)
+    ids = jnp.where(in_tile, _chunk_windows(gs2, item_start, chunk), n)
 
-    # Each work item reads a CONTIGUOUS chunk-wide window of the sorted
-    # instance stream.  A (W, chunk) element-gather costs ~7 ns/element
-    # on v5e (~30 ms at 4M instances); instead gather two chunk-wide
-    # ROWS per item (row gathers are ~30x cheaper per byte) and align
-    # the window with log2(chunk) static lane-rotates selected by the
-    # bits of the per-item offset.
-    item_start = starts[item_tile] + ordinal * chunk     # (W,)
-    pad_i = (-gauss_sorted.shape[0]) % chunk + chunk
-    gs2 = jnp.concatenate(
-        [gauss_sorted,
-         jnp.full((pad_i,), n, gauss_sorted.dtype)]).reshape(-1, chunk)
-    row = jnp.clip(item_start // chunk, 0, gs2.shape[0] - 2)
-    off = item_start % chunk
-    win = jnp.concatenate([gs2[row], gs2[row + 1]], axis=1)  # (W, 2*chunk)
-    k = 1
-    while k < chunk:
-        win = jnp.where(((off & k) != 0)[:, None],
-                        jnp.roll(win, -k, axis=1), win)
-        k *= 2
-    ids = jnp.where(in_tile, win[:, :chunk], n)          # (W, chunk)
-
-    # ONE packed id-gather (gathers are row-latency-bound: four separate
-    # per-array gathers quadruple the dominant cost) feeding the Pallas
-    # segment kernel, whose intermediates live in VMEM — the earlier XLA
-    # formulation materialized (W, 256, chunk) tensors in HBM and made
-    # large work caps uncompilable.  Sentinel id n hits the pad row
-    # (opacity 0 -> alpha 0).
-    pad = jnp.zeros((1, 6 + nc), means2d.dtype).at[0, 0:2].set(-1e6)
-    packed = jnp.concatenate(
-        [jnp.concatenate([means2d, conic, colors,
-                          opacities.reshape(-1, 1)], -1), pad], 0)
-    pgT = packed[ids].transpose(0, 2, 1)                 # (W, D, chunk)
-    t_idx = jnp.arange(num_tiles)
-    tile_x0 = (t_idx % tiles_x) * TILE
-    tile_y0 = (t_idx // tiles_x) * TILE
-    pix0 = jnp.stack([tile_x0, tile_y0],
-                     -1).astype(means2d.dtype)[item_tile]  # (W, 2)
-
-    from .pallas_composite import pick_block, segment_composite
-    seg = segment_composite(pgT, pix0, nc, pick_block(work_cap),
-                            jax.default_backend() != "tpu")
-    seg_c = seg[:, :nc]                                  # (W, nc, P)
-    seg_t = seg[:, nc]                                   # (W, P)
+    pgT = packed[ids].transpose(0, 2, 1)                   # (W, D, chunk)
+    pix0 = pix0_all[item_tile]                             # (W, 2)
+    seg = segment_composite(pgT, pix0, nc, pick_block(work_cap), interp)
+    seg_c = seg[:, :nc]                                    # (W, nc, P)
+    seg_t = seg[:, nc]                                     # (W, P)
 
     # Segmented inclusive scan along W (items of one tile are
     # consecutive and depth-ordered; invalid tail items are the identity
-    # (0, 1) so merging them is harmless).  After ceil(log2(max_items))
+    # (0, 1) so merging them is harmless).  After ceil(log2(max chunks-1))
     # doubling steps, item i holds the ordered combination of its tile's
     # items [segment_start..i].
     s = 1
-    while s < max_items:
+    while s < max_items - 1:
         same = jnp.concatenate(
             [jnp.zeros((s,), bool), item_tile[s:] == item_tile[:-s]])
         c_l = jnp.concatenate(
@@ -466,13 +534,17 @@ def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
         seg_t = jnp.where(same[:, None], t_l * seg_t, seg_t)
         s *= 2
 
-    # per-tile result at its LAST in-cap item; tiles truncated by
-    # work_cap keep the in-cap prefix (overflow is reported above)
+    # per-tile phase-2 result at its LAST in-cap item; tiles truncated
+    # by work_cap keep the in-cap prefix (overflow is reported above)
     tile_end = jnp.minimum(offs[1:num_tiles + 1], work_cap)
     has = offs[:num_tiles] < tile_end
     last = jnp.clip(tile_end - 1, 0, work_cap - 1)
-    accum = jnp.where(has[:, None, None], seg_c[last], 0.0)  # (T, nc, P)
-    trans = jnp.where(has[:, None], seg_t[last], 1.0)        # (T, P)
+    c2 = jnp.where(has[:, None, None], seg_c[last], 0.0)   # (T, nc, P)
+    t2 = jnp.where(has[:, None], seg_t[last], 1.0)         # (T, P)
+
+    # phase 1 (front) o phase 2
+    accum = c1 + t1[:, None, :] * c2
+    trans = t1 * t2
 
     img = accum + trans[:, None, :] * bg[:nc][None, :, None]
     img = img.reshape(tiles_y, tiles_x, nc, TILE, TILE)
@@ -490,13 +562,15 @@ def _composite_worklist(gauss_sorted, edges, means2d, conic, colors,
                                    "max_tiles_per_gauss", "chunk",
                                    "tile_capacity_lo", "hot_tiles",
                                    "work_cap", "mid_capacity",
-                                   "big_capacity"))
+                                   "big_capacity", "tiers", "stop_eps",
+                                   "instance_cap"))
 def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
               bg, width: int, height: int, means2d_offset=None,
               tile_capacity: int = 512, max_tiles_per_gauss: int = 36,
               chunk: int = 32, tile_capacity_lo: int = 0,
               hot_tiles: int = 0, work_cap: int = 0,
-              mid_capacity: int = None, big_capacity: int = None):
+              mid_capacity: int = None, big_capacity: int = None,
+              tiers=None, stop_eps: float = 0.0, instance_cap: int = 0):
     """Full differentiable splatting pass.
 
     ``means2d_offset`` (N,2), normally zeros, is added to the projected 2D
@@ -519,13 +593,15 @@ def rasterize(means3d, colors, opacities, cov3d, cam: CameraArrays,
     tile_sorted, gauss_sorted, edges, big_overflow = _sorted_instances(
         means2d, depth, radius, in_frustum, width, height,
         max_tiles_per_gauss,
-        mid_capacity=mid_capacity, big_capacity=big_capacity)
+        mid_capacity=mid_capacity, big_capacity=big_capacity,
+        tiers=tiers)
     counts = edges[1:num_tiles + 1] - edges[:num_tiles]
     if work_cap > 0:
         img, alpha, work_overflow = _composite_worklist(
             gauss_sorted, edges, means2d, conic, colors, opacities,
             width, height, bg, chunk=chunk, work_cap=work_cap,
-            tile_capacity=tile_capacity)
+            tile_capacity=tile_capacity, stop_eps=stop_eps,
+            instance_cap=instance_cap)
     else:
         table = _build_tile_table(tile_sorted, gauss_sorted, edges,
                                   means3d.shape[0], num_tiles,
