@@ -88,9 +88,8 @@ def main():
 
     import jax
     # persistent compile cache: the TPU tunnel's remote compiles are slow
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from mpmavatar_tpu.utils import compile_cache
+    compile_cache.setup()
     import jax.numpy as jnp
     from mpmavatar_tpu.core import types
     from mpmavatar_tpu.sim import MPMSolver

@@ -11,8 +11,8 @@ import numpy as np
 
 def main(quiet=False, iters=10):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from mpmavatar_tpu.utils import compile_cache
+    compile_cache.setup()
     import jax.numpy as jnp
     from mpmavatar_tpu.render import camera_arrays, rasterize
     from mpmavatar_tpu.render.cameras import Camera

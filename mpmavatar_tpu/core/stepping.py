@@ -164,7 +164,18 @@ def compute_stress(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
         vertex_force = jnp.zeros((V, 3), dtype)
 
     # --- traditional particles ----------------------------------------
-    if T > 0:
+    if T > 0 and pallas and cfg.material == 2:
+        # sand: fused plane-form kernel (svd + DP return map + stress in
+        # one VMEM pass; the (T,3,3) layout pays a >40x trailing-dim
+        # padding tax per materialized intermediate — 29 ms -> ~1 ms for
+        # 100k particles)
+        from ..ops.pallas_stress import sand_stress_fused
+        sl = slice(E, E + T)
+        sel_t = (state.selection[sl] == 0)
+        f_new, stress_t = sand_stress_fused(
+            state.F_trial, state.F, sel_t.astype(dtype),
+            model.mu[sl], model.lam[sl], model.alpha)
+    elif T > 0:
         sl = slice(E, E + T)
         mu, lam = model.mu[sl], model.lam[sl]
         ys = state.yield_stress[sl]

@@ -195,6 +195,260 @@ def _stress_bwd(block, interpret, res, g):
 _stress_fused.defvjp(_stress_fwd, _stress_bwd)
 
 
+def _svd3_planes(f):
+    """Plane-form port of core.linalg.svd3: f is a 3x3 of (1, n) planes;
+    returns (u, sigma, v) with u, v 3x3 plane lists and sigma a 3-list.
+
+    Same Jacobi sweep structure (8 cyclic sweeps, full-matrix Givens),
+    stable descending sort, proper-rotation V, Gram-Schmidt U with the
+    degenerate fallback, det(f)<0 -> negative smallest singular value."""
+    # ata = f^T f (kept as a full 3x3 of planes: the reference Jacobi
+    # applies Givens to the full matrix, so we mirror that exactly)
+    a = [[sum(f[k][i] * f[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    v = [[jnp.full_like(f[0][0], 1.0 if i == j else 0.0)
+          for j in range(3)] for i in range(3)]
+
+    for _ in range(8):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            app, aqq, apq = a[p][p], a[q][q], a[p][q]
+            small = jnp.abs(apq) < _EPS
+            tau = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
+            sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            # columns p, q of A
+            bp = [c * a[i][p] - s * a[i][q] for i in range(3)]
+            bq = [s * a[i][p] + c * a[i][q] for i in range(3)]
+            b = [[bp[i] if j == p else (bq[i] if j == q else a[i][j])
+                  for j in range(3)] for i in range(3)]
+            # rows p, q
+            rp = [c * b[p][j] - s * b[q][j] for j in range(3)]
+            rq = [s * b[p][j] + c * b[q][j] for j in range(3)]
+            a = [[rp[j] if i == p else (rq[j] if i == q else b[i][j])
+                  for j in range(3)] for i in range(3)]
+            # V columns p, q
+            vp = [c * v[i][p] - s * v[i][q] for i in range(3)]
+            vq = [s * v[i][p] + c * v[i][q] for i in range(3)]
+            v = [[vp[i] if j == p else (vq[i] if j == q else v[i][j])
+                  for j in range(3)] for i in range(3)]
+
+    ev = [a[0][0], a[1][1], a[2][2]]
+
+    # stable descending sort via compare-swap network on (eig, V-col)
+    def cswap(ev, v, i, j):
+        sw = ev[i] < ev[j]
+        ei = jnp.where(sw, ev[j], ev[i])
+        ej = jnp.where(sw, ev[i], ev[j])
+        ev = [ei if k == i else (ej if k == j else ev[k])
+              for k in range(3)]
+        vi = [jnp.where(sw, v[r][j], v[r][i]) for r in range(3)]
+        vj = [jnp.where(sw, v[r][i], v[r][j]) for r in range(3)]
+        v = [[vi[r] if k == i else (vj[r] if k == j else v[r][k])
+              for k in range(3)] for r in range(3)]
+        return ev, v
+
+    for (i, j) in ((0, 1), (1, 2), (0, 1)):
+        ev, v = cswap(ev, v, i, j)
+
+    detv = (v[0][0] * (v[1][1] * v[2][2] - v[1][2] * v[2][1])
+            - v[0][1] * (v[1][0] * v[2][2] - v[1][2] * v[2][0])
+            + v[0][2] * (v[1][0] * v[2][1] - v[1][1] * v[2][0]))
+    sv = jnp.sign(detv)
+    v = [[v[i][j] * sv if j == 2 else v[i][j] for j in range(3)]
+         for i in range(3)]
+
+    sigma = [jnp.sqrt(jnp.maximum(e, 0.0)) for e in ev]
+
+    fv = [[sum(f[i][k] * v[k][j] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    inv_s0 = 1.0 / jnp.maximum(sigma[0], _EPS)
+    u0 = [fv[i][0] * inv_s0 for i in range(3)]
+    n0 = jnp.sqrt(u0[0] ** 2 + u0[1] ** 2 + u0[2] ** 2 + 1e-24)
+    u0 = [c / jnp.maximum(n0, _EPS) for c in u0]
+    d1 = sum(fv[i][1] * u0[i] for i in range(3))
+    u1r = [fv[i][1] - d1 * u0[i] for i in range(3)]
+    n1 = jnp.sqrt(u1r[0] ** 2 + u1r[1] ** 2 + u1r[2] ** 2 + 1e-24)
+    # degenerate fallback: cross(u0, e_x or e_y)
+    use_x = jnp.abs(u0[0]) < 0.9
+    ax = [jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
+          jnp.zeros_like(u0[0])]
+    alt = [u0[1] * ax[2] - u0[2] * ax[1],
+           u0[2] * ax[0] - u0[0] * ax[2],
+           u0[0] * ax[1] - u0[1] * ax[0]]
+    na = jnp.sqrt(alt[0] ** 2 + alt[1] ** 2 + alt[2] ** 2 + 1e-24)
+    alt = [c / jnp.maximum(na, _EPS) for c in alt]
+    ok1 = n1 > 1e-6
+    inv_n1 = 1.0 / jnp.maximum(n1, _EPS)
+    u1 = [jnp.where(ok1, u1r[i] * inv_n1, alt[i]) for i in range(3)]
+    u2 = [u0[1] * u1[2] - u0[2] * u1[1],
+          u0[2] * u1[0] - u0[0] * u1[2],
+          u0[0] * u1[1] - u0[1] * u1[0]]
+    u = [[u0[i], u1[i], u2[i]] for i in range(3)]
+
+    detf = (f[0][0] * (f[1][1] * f[2][2] - f[1][2] * f[2][1])
+            - f[0][1] * (f[1][0] * f[2][2] - f[1][2] * f[2][0])
+            + f[0][2] * (f[1][0] * f[2][1] - f[1][1] * f[2][0]))
+    sigma[2] = sigma[2] * jnp.where(detf < 0.0, -1.0, 1.0)
+    return u, sigma, v
+
+
+def _sand_math(inp):
+    """(22, n) planes -> (18, n): the full traditional-sand stress chain.
+
+    in: f_trial (9, index i*3+j), f_prev (9), sel, mu, lam, alpha.
+    out: f_new (9), stress (9).
+
+    Mirrors core.constitutive.sand_return_mapping +
+    kirchoff_stress_drucker_prager exactly (port of
+    sand_return_mapping / kirchoff_stress_drucker_prager,
+    /root/reference/warp_mpm/mpm_utils.py:362-399,69-84): in (T, 3, 3)
+    layout the chain costs ~29 ms for 100k particles (every (T, 3)/
+    (T, 3, 3) intermediate tiles its trailing dims to (8, 128) — a
+    >40x HBM-padding tax); in plane form it is one VMEM pass."""
+    pl_ = lambda i: inp[i:i + 1]
+    ft = [[pl_(i * 3 + j) for j in range(3)] for i in range(3)]
+    fp = [[pl_(9 + i * 3 + j) for j in range(3)] for i in range(3)]
+    sel = pl_(18)
+    mu, lam, alpha = pl_(19), pl_(20), pl_(21)
+
+    u, sig, v = _svd3_planes(ft)
+
+    eps = [jnp.log(jnp.maximum(jnp.abs(s), 1e-14)) for s in sig]
+    tr = eps[0] + eps[1] + eps[2]
+    eh = [e - tr / 3.0 for e in eps]
+    ehn = jnp.sqrt(eh[0] ** 2 + eh[1] ** 2 + eh[2] ** 2 + 1e-24)
+    delta_gamma = ehn + (3.0 * lam + 2.0 * mu) / (2.0 * mu) * tr * alpha
+    scale = delta_gamma / jnp.maximum(ehn, 1e-12)
+    h = [eps[i] - eh[i] * scale for i in range(3)]
+    exph = [jnp.exp(hi) for hi in h]
+
+    # f_proj = u diag(exph) v^T ; f_cone_tip = u v^T
+    def recompose(diag):
+        return [[sum(u[i][k] * diag[k] * v[j][k] for k in range(3))
+                 for j in range(3)] for i in range(3)]
+
+    f_proj = recompose(exph)
+    ones = jnp.ones_like(sig[0])
+    f_tip = recompose([ones, ones, ones])
+    yielding = delta_gamma > 0
+    expand = tr > 0
+    f_map = [[jnp.where(yielding,
+                        jnp.where(expand, f_tip[i][j], f_proj[i][j]),
+                        ft[i][j]) for j in range(3)] for i in range(3)]
+    use = sel > 0.5
+    f_new = [[jnp.where(use, f_map[i][j], fp[i][j]) for j in range(3)]
+             for i in range(3)]
+
+    # Drucker-Prager stress, spectrally: with svd(F_new) = (U, s, V),
+    # tau = U diag(center) V^T F_new^T = U diag(center * s) U^T where
+    # center_k = (2 mu log s_k + lam sum(log s)) / s_k — i.e.
+    # tau = U diag(2 mu log s_k + lam sum(log s)) U^T, a spectral
+    # function of F_new F_new^T.  The return map KNOWS log s exactly
+    # (h for the cone projection, 0 for the tip, log|s_trial| for the
+    # elastic branch), so no second SVD of the recomposed F_new is
+    # needed — and the tip case comes out exactly zero instead of the
+    # reference's noise-amplified log(1 +- svd eps) (values agree with
+    # the (T,3,3) path to ~mu*1e-6; see kirchoff_stress_drucker_prager,
+    # /root/reference/warp_mpm/mpm_utils.py:69-84).
+    zero = jnp.zeros_like(sig[0])
+    # elastic branch: log of the TRIAL singular values without the
+    # |.| clamp, matching the reference's log(sig) (NaN for det<0,
+    # exactly as the (T,3,3) path)
+    log_el = [jnp.log(s) for s in sig]
+    logs = [jnp.where(yielding, jnp.where(expand, zero, h[k]),
+                      log_el[k]) for k in range(3)]
+    log_sum = logs[0] + logs[1] + logs[2]
+    diag = [2.0 * mu * logs[k] + lam * log_sum for k in range(3)]
+    st = [[sum(u[i][k] * diag[k] * u[j][k] for k in range(3))
+           for j in range(3)] for i in range(3)]
+    # unselected particles keep F_prev and contribute zero stress (the
+    # (T,3,3) path also zeroes them), so U-of-trial is valid wherever
+    # the stress survives the mask
+    stress = [[jnp.where(use, st[i][j], 0.0)
+               for j in range(3)] for i in range(3)]
+
+    outs = [f_new[i][j] for i in range(3) for j in range(3)] \
+        + [stress[i][j] for i in range(3) for j in range(3)]
+    return jnp.concatenate(outs, axis=0)
+
+
+def _sand_pallas(inp, block, interpret):
+    n = inp.shape[-1]
+
+    def kernel(in_ref, out_ref):
+        out_ref[...] = _sand_math(in_ref[...])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((22, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((18, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((18, n), jnp.float32),
+        interpret=interpret,
+    )(inp)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _sand_fused(inp, block, interpret):
+    return _sand_pallas(inp, block, interpret)
+
+
+def _sand_fwd(inp, block, interpret):
+    return _sand_pallas(inp, block, interpret), inp
+
+
+def _sand_bwd(block, interpret, res, g):
+    _, vjp = jax.vjp(_sand_math, res)
+    return (vjp(g)[0],)
+
+
+_sand_fused.defvjp(_sand_fwd, _sand_bwd)
+
+
+def sand_stress_fused(f_trial, f_prev, sel, mu, lam, alpha,
+                      block: int = 4096, interpret=None):
+    """Fused sand (Drucker-Prager) return map + stress for the
+    traditional block: returns (f_new (T,3,3), stress (T,3,3)) — the
+    material==2 half of core.stepping.compute_stress in one HBM pass."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    t = f_trial.shape[0]
+    pad = (-t) % 128
+    tp = t + pad
+
+    def pplane(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        x = jnp.broadcast_to(x, (t,)) if x.shape[0] == 1 else x
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    planes = [pplane(f_trial[:, i, j]) for i in range(3)
+              for j in range(3)]
+    planes += [pplane(f_prev[:, i, j], fill=(1.0 if i == j else 0.0))
+               for i in range(3) for j in range(3)]
+    planes += [pplane(sel), pplane(mu), pplane(lam),
+               pplane(jnp.broadcast_to(jnp.reshape(alpha, ()), (t,)))]
+    # identity-pad f_trial's diagonal too: log/1/sigma on zero-padded
+    # rows would inf/NaN through the padded lanes (harmless values but
+    # XLA may flush NaNs slowly; identity keeps the padded math tame)
+    for i in range(3):
+        idx = i * 3 + i
+        planes[idx] = planes[idx].at[t:].set(1.0) if pad else planes[idx]
+    inp = jnp.stack(planes, axis=0)                       # (22, Tp)
+    blk = block
+    while tp % blk:
+        blk //= 2
+    out = _sand_fused(inp, blk, interpret)                # (18, Tp)
+    out = out[:, :t]
+    f_new = out[0:9].T.reshape(t, 3, 3)
+    stress = out[9:18].T.reshape(t, 3, 3)
+    return f_new, stress
+
+
 def cloth_stress_fused(d, r_inv, vol, sel, mu, lam, gamma, kappa,
                        friction_coeff, block: int = 8192,
                        interpret=None):

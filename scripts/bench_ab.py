@@ -14,8 +14,8 @@ sys.path.insert(0, ".")
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from mpmavatar_tpu.utils import compile_cache
+    compile_cache.setup()
     import jax.numpy as jnp
 
     from bench import build_cloth, build_body_sphere

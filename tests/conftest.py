@@ -19,15 +19,6 @@ jax.config.update("jax_num_cpu_devices", 8)
 # (this workspace persists across heterogeneous machines), so the dir
 # is keyed by a host-CPU fingerprint on top of jax's backend/version
 # keying — a new host recompiles instead of loading foreign artifacts.
-import hashlib
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next(l for l in f if l.startswith("flags"))
-except Exception:
-    import platform
-    _flags = platform.processor() or "unknown"
-_tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-_cache = os.path.join(os.path.dirname(__file__), "..",
-                      f".jax_cache_cpu_{_tag}")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mpmavatar_tpu.utils import compile_cache
+
+compile_cache.setup(cpu=True, min_compile_secs=1.0)
