@@ -4,8 +4,13 @@ The reference wraps its appearance/physics loops in HuggingFace accelerate
 DDP plumbing that never synchronizes anything (SURVEY.md §2.7).  Here the
 appearance stage gets true data parallelism: a batch of (camera, frame)
 samples is sharded over the ``"dp"`` mesh axis, each device renders and
-differentiates its shard, and gradients are ``psum``-reduced before the
-optax update — the canonical DP recipe, with params replicated.
+differentiates its shard with the SAME full stage-2 loss as the
+single-device trainer (train.appearance.frame_loss — L1/DSSIM (+LPIPS) +
+normal/opacity/iso/area/xyz/scale regularizers), gradients are
+``pmean``-reduced before the shared optax update, and the densification
+statistics (view-space gradient norms, visible counts, max screen radii
+— gaussian_model.py:524-526) are ``psum``-accumulated so multi-chip
+training reproduces the single-device densify/prune trajectory.
 """
 
 from __future__ import annotations
@@ -14,71 +19,96 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..render import gaussians as G
 from ..render.rasterizer import CameraArrays
-from ..train.appearance import render_avatar_frame
-from ..utils.losses import l1_loss, ssim
+from ..train.appearance import (AppearanceLossWeights, apply_updates_float,
+                                float_leaf_grads, frame_loss)
 
 
-def make_dp_appearance_step(avatar, tx, device_mesh: Mesh,
+def make_dp_appearance_step(avatar, opt, tx, device_mesh: Mesh,
                             active_sh_degree: int, white_bkgd: bool,
                             width: int, height: int,
-                            dssim_weight: float = 0.2,
-                            tile_capacity: int = 256, axis: str = "dp"):
-    """Returns step(params, opt_state, batch) -> (params, opt_state, loss).
+                            weights: AppearanceLossWeights = None,
+                            tile_capacity: int = 256, work_cap: int = 0,
+                            chunk: int = 32, lpips_fn=None,
+                            axis: str = "dp"):
+    """Returns step(params, opt_state, densify_state, batch...) ->
+    (params, opt_state, densify_state, loss, metrics).
 
-    ``batch`` fields are leading-axis B arrays (B divisible by mesh size):
-    cam (CameraArrays stacked), camera_idx (B,), timestep_verts (B, V, 3)
-    pre-posed vertices, ao_map (B, 1, H, W), rgb (B, 3, H, W),
-    msk (B, 1, H, W)."""
+    ``batch`` fields are leading-axis B arrays (B divisible by mesh
+    size): cam (CameraArrays stacked), camera_idx (B,) int, timestep
+    (B,) int (indexes verts_offset), verts_base (B, V, 3) the tracked
+    vertices WITHOUT offset (the learnable offset row is gathered and
+    added on device so its gradient flows), ao_map (B, 1, Ha, Wa),
+    rgb (B, 3, H, W), msk (B, 1, H, W).
+
+    One step with B samples optimizes mean_b loss_b — gradient-identical
+    (up to reduction order) to averaging B single-device
+    ``make_train_step`` gradients — and accumulates B samples' worth of
+    densification statistics (each sample counts as one reference
+    iteration of add_densification_stats).
+    """
+    weights = weights or AppearanceLossWeights(
+        dssim=opt.lambda_dssim, lpips=getattr(opt, "lambda_lpips", 0.2),
+        threshold_xyz=getattr(opt, "threshold_xyz", 1.0),
+        threshold_scale=getattr(opt, "threshold_scale", 0.6))
     bg = jnp.ones(3) if white_bkgd else jnp.zeros(3)
+    ndc_scale = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
 
-    def local_loss(params, cam_b, camera_idx, verts_b, ao_b, rgb_b, msk_b):
-        def one(cam, ci, verts, ao, rgb, msk):
-            rendering, _ = render_avatar_frame(
-                avatar, params, verts, ao, (cam, width, height), ci,
-                active_sh_degree, bg, white_bkgd,
-                tile_capacity=tile_capacity)
-            gt = rgb * msk + (1.0 - msk if white_bkgd else 0.0)
-            return (1.0 - dssim_weight) * l1_loss(rendering, gt) \
-                + dssim_weight * (1.0 - ssim(rendering, gt))
+    def one_sample_grads(params, cam, cidx, t, verts_base, ao, rgb, msk):
+        def loss_fn(p, m2d):
+            verts = verts_base + p.verts_offset[t]
+            return frame_loss(
+                avatar, weights, p, m2d, verts, p.verts_offset[t], ao,
+                cam, width, height, cidx, rgb, msk, active_sh_degree,
+                bg, white_bkgd, tile_capacity, work_cap, chunk, lpips_fn)
 
-        losses = jax.vmap(one)(cam_b, camera_idx, verts_b, ao_b, rgb_b,
-                               msk_b)
-        return jnp.mean(losses)
+        m2d0 = jnp.zeros((params.splats.capacity, 2))
+        (loss, aux), grads, vgrad = float_leaf_grads(params, loss_fn,
+                                                     m2d0)
+        cap = params.splats.capacity
+        gn = jnp.linalg.norm(vgrad[:, :2] * ndc_scale[None], axis=-1)
+        visible = aux["visible"][:cap]
+        stats = (jnp.where(visible, gn[:cap], 0.0),
+                 visible.astype(jnp.float32),
+                 jnp.where(visible, aux["radii"][:cap], 0.0))
+        metrics = {"l1": aux["l1"], "dssim": aux["dssim"],
+                   "lpips": aux["lpips"],
+                   "big_overflow": aux["big_overflow"],
+                   "work_overflow": aux["work_overflow"]}
+        return loss, grads, stats, metrics
 
-    def step(params, opt_state, cam_b, camera_idx, verts_b, ao_b, rgb_b,
-             msk_b):
-        flat, treedef = jax.tree.flatten(params)
-        fmask = [jnp.issubdtype(l.dtype, jnp.floating) for l in flat]
-
-        def recombine(floats):
-            it = iter(floats)
-            return jax.tree.unflatten(
-                treedef, [next(it) if m else orig
-                          for m, orig in zip(fmask, flat)])
-
-        floats_in = [l for l, m in zip(flat, fmask) if m]
-        loss, fgrads = jax.value_and_grad(
-            lambda fl: local_loss(recombine(fl), cam_b, camera_idx,
-                                  verts_b, ao_b, rgb_b, msk_b))(floats_in)
-        # cross-device reduction: params replicated, batch sharded
-        loss = jax.lax.pmean(loss, axis)
-        fgrads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), fgrads)
-        it = iter(fgrads)
-        grads = jax.tree.unflatten(
-            treedef, [next(it) if m else jnp.zeros_like(orig)
-                      for m, orig in zip(fmask, flat)])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(
-            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
-            else p, params, updates)
-        return params, opt_state, loss
+    def step(params, opt_state, ds, cam_b, cidx_b, t_b, verts_b, ao_b,
+             rgb_b, msk_b):
+        loss, grads, stats, metrics = jax.vmap(
+            one_sample_grads, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                params, cam_b, cidx_b, t_b, verts_b, ao_b, rgb_b, msk_b)
+        # cross-device gradient mean (params replicated, batch sharded)
+        loss = jax.lax.pmean(jnp.mean(loss), axis)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jnp.mean(g, axis=0), axis), grads)
+        # densification stats: SUM over the global batch (each sample ==
+        # one reference iteration), max for the screen radii
+        gn_sum = jax.lax.psum(jnp.sum(stats[0], 0), axis)
+        vis_sum = jax.lax.psum(jnp.sum(stats[1], 0), axis)
+        rad_max = jax.lax.pmax(jnp.max(stats[2], 0), axis)
+        ds = G.DensifyState(
+            xyz_gradient_accum=ds.xyz_gradient_accum + gn_sum[:, None],
+            denom=ds.denom + vis_sum[:, None],
+            max_radii2d=jnp.maximum(ds.max_radii2d, rad_max))
+        metrics = {k: jax.lax.pmean(jnp.mean(v), axis)
+                   if jnp.issubdtype(v.dtype, jnp.floating)
+                   else jax.lax.psum(jnp.sum(v), axis)
+                   for k, v in metrics.items()}
+        params, opt_state = apply_updates_float(tx, params, grads,
+                                                opt_state)
+        return params, opt_state, ds, loss, metrics
 
     sharded = jax.shard_map(
         step, mesh=device_mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)
     return jax.jit(sharded)
 

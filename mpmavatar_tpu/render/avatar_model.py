@@ -77,13 +77,28 @@ class MeshAvatar:
         return jnp.sum((1.0 - op) * alive) / jnp.maximum(jnp.sum(alive), 1)
 
     def iso_loss(self, verts):
+        """mesh_gaussian_model.py:226-232 — with one robustness deviation:
+        boundary faces get THEMSELVES as padding neighbors (reference
+        find_adjacent_faces, general_utils.py:308-312), whose offset is
+        analytically zero.  Torch evaluates that zero exactly, but under
+        XLA fusion ``xyz`` and ``xyz[neighbors]`` may round differently
+        by 1 ulp and the d(mag)/d(off) = off/mag ~ 1e10 factor amplifies
+        the ulp into multi-order-of-magnitude gradient noise (observed:
+        jit vs eager grads differing 900x).  Self rows are masked out of
+        the loss; their reference contribution is sqrt(1e-20) = 1e-10
+        per row, i.e. unchanged to float precision."""
+        faces_j = jnp.asarray(self.face_neighbors)
+        self_mask = jnp.asarray(
+            self.face_neighbors
+            == np.arange(len(self.faces))[:, None])
         xyz = verts[jnp.asarray(self.faces)].mean(1)
-        npts = xyz[jnp.asarray(self.face_neighbors)]
+        npts = xyz[faces_j]
         off = npts - xyz[:, None]
         mag = jnp.sqrt(jnp.sum(off ** 2, -1) + 1e-20)
         diff = (mag - jnp.asarray(self.neighbor_dist)) ** 2
-        return jnp.mean(jnp.sqrt(diff * jnp.asarray(self.neighbor_weight)
-                                 + 1e-20))
+        val = jnp.where(self_mask, 0.0,
+                        diff * jnp.asarray(self.neighbor_weight))
+        return jnp.mean(jnp.sqrt(val + 1e-20))
 
     def area_loss(self, verts):
         vf = verts[jnp.asarray(self.faces)]

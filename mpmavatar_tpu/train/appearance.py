@@ -74,7 +74,8 @@ def shaded_colors(avatar: MeshAvatar, params: AvatarParams, frames,
 def render_avatar_frame(avatar: MeshAvatar, params: AvatarParams,
                         verts, ao_map, cam, camera_idx,
                         active_sh_degree: int, bg, white_bkgd: bool,
-                        means2d_offset=None, tile_capacity: int = 512):
+                        means2d_offset=None, tile_capacity: int = 512,
+                        work_cap: int = 0, chunk: int = 32):
     """Pose + shade + splat + color-calibrate one frame
     (train_appearance.py:116-127, train_material_params.py:857-868).
 
@@ -94,7 +95,8 @@ def render_avatar_frame(avatar: MeshAvatar, params: AvatarParams,
     out = rasterize(xyz, colors, opacity, cov3d, ca, jnp.asarray(bg),
                     width=width, height=height,
                     means2d_offset=means2d_offset,
-                    tile_capacity=tile_capacity)
+                    tile_capacity=tile_capacity, work_cap=work_cap,
+                    chunk=chunk)
     rendering = out["render"] * jnp.exp(params.cam_m[camera_idx])[:, None, None] \
         + params.cam_c[camera_idx][:, None, None]
     rendering = rendering * out["alpha"]
@@ -125,10 +127,103 @@ def _masked_mean(values, mask):
     return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def frame_loss(avatar: MeshAvatar, weights: AppearanceLossWeights,
+               p: AvatarParams, m2d, verts, offset_rows, ao_map, ca,
+               width: int, height: int, camera_idx, gt_rgb, gt_msk,
+               active_sh_degree: int, bg, white_bkgd: bool,
+               tile_capacity: int, work_cap: int, chunk: int, lpips_fn):
+    """The full stage-2 loss for ONE (camera, frame) sample
+    (train_appearance.py:116-152): render + L1/DSSIM (+LPIPS) + the
+    regularizer set (normal/opacity/iso/area/xyz/scale/offset).
+
+    Shared verbatim by the single-device train step and the
+    data-parallel step (parallel.appearance_dp) so multi-chip training
+    optimizes the same objective.  ``verts`` must already carry the
+    learnable offset (gradients flow through it); ``offset_rows`` is the
+    frame's slice of ``verts_offset`` for the optional offset reg."""
+    rendering, out = render_avatar_frame(
+        avatar, p, verts, ao_map, (ca, width, height), camera_idx,
+        active_sh_degree, bg, white_bkgd, means2d_offset=m2d,
+        tile_capacity=tile_capacity, work_cap=work_cap, chunk=chunk)
+    rendering = jnp.clip(rendering, 0.0, 1.0)
+    gt = gt_rgb * gt_msk + (1.0 - gt_msk if white_bkgd else 0.0)
+    ll1 = l1_loss(rendering, gt)
+    ds = 1.0 - ssim(rendering, gt)
+    loss = (1.0 - weights.dssim) * ll1 + weights.dssim * ds
+    # nan (not 0.0) when disabled: a log line reading "lpips 0.00000"
+    # would suggest the term is active and converged
+    lp = jnp.full((), jnp.nan)
+    if lpips_fn is not None:
+        lp = lpips_fn(rendering[None], gt[None])
+        loss = loss + weights.lpips * lp
+    loss = loss + weights.normal * avatar.normal_loss(verts)
+    loss = loss + weights.opacity * avatar.opacity_loss(p)
+    loss = loss + weights.iso * avatar.iso_loss(verts)
+    loss = loss + weights.area * avatar.area_loss(verts)
+    # xyz / scale threshold regs over visible gaussians
+    # (train_appearance.py:147-148)
+    visible = (out["radii"] > 0) & p.splats.alive
+
+    # safe norms: ||.|| has a NaN gradient at exactly zero (the xyz
+    # offsets start at 0), so add eps inside the sqrt
+    def _norm(v):
+        return jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-12)
+
+    xyz_excess = jax.nn.relu(_norm(p.splats.xyz) - weights.threshold_xyz)
+    loss = loss + weights.xyz * _masked_mean(xyz_excess, visible)
+    scale_excess = _norm(jax.nn.relu(
+        jnp.exp(p.splats.scaling) - weights.threshold_scale))
+    loss = loss + weights.scale * _masked_mean(scale_excess, visible)
+    if weights.offset:
+        loss = loss + weights.offset * jnp.mean(jnp.abs(offset_rows))
+    aux = {"l1": ll1, "dssim": ds, "lpips": lp,
+           "radii": out["radii"], "alpha": out["alpha"],
+           "visible": visible,
+           "big_overflow": out["big_overflow"],
+           "work_overflow": out["work_overflow"]}
+    return loss, aux
+
+
+def float_leaf_grads(params, loss_of_params_and_m2d, m2d0):
+    """value_and_grad over only the FLOAT leaves of ``params`` (+ the
+    viewspace offset), zeros for integer bookkeeping leaves.
+
+    Returns ((loss, aux), grads_pytree, vgrad)."""
+    flat, treedef = jax.tree.flatten(params)
+    fmask = [jnp.issubdtype(l.dtype, jnp.floating) for l in flat]
+
+    def recombine(floats):
+        it = iter(floats)
+        return jax.tree.unflatten(
+            treedef, [next(it) if m else orig
+                      for m, orig in zip(fmask, flat)])
+
+    floats_in = [l for l, m in zip(flat, fmask) if m]
+    (loss, aux), (fgrads, vgrad) = jax.value_and_grad(
+        lambda fl, m2d: loss_of_params_and_m2d(recombine(fl), m2d),
+        argnums=(0, 1), has_aux=True)(floats_in, m2d0)
+    it = iter(fgrads)
+    grads = jax.tree.unflatten(
+        treedef, [next(it) if m else jnp.zeros_like(orig)
+                  for m, orig in zip(fmask, flat)])
+    return (loss, aux), grads, vgrad
+
+
+def apply_updates_float(tx, params, grads, opt_state):
+    """optax update applied to float leaves only (integer leaves pass
+    through unchanged)."""
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(
+        lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
+        else p, params, updates)
+    return params, opt_state
+
+
 def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
                     white_bkgd: bool,
                     weights: Optional[AppearanceLossWeights] = None,
-                    tile_capacity: int = 512, lpips_fn=None):
+                    tile_capacity: int = 512, lpips_fn=None,
+                    work_cap: int = 0, chunk: int = 32):
     """One jitted optimization step.
 
     The returned aux carries ``vgrad``: d(loss)/d(means2d) extracted from
@@ -152,78 +247,21 @@ def make_train_step(avatar: MeshAvatar, opt, tx, active_sh_degree: int,
     def train_step(params: AvatarParams, opt_state, timestep: int,
                    camera_idx, ca, gt_rgb, gt_msk, ao_map,
                    width: int, height: int):
-        # differentiate only the float leaves (binding/alive/_meta are
-        # integer bookkeeping)
-        flat, treedef = jax.tree.flatten(params)
-        fmask = [jnp.issubdtype(l.dtype, jnp.floating) for l in flat]
-
-        def recombine(floats):
-            it = iter(floats)
-            return jax.tree.unflatten(
-                treedef, [next(it) if m else orig
-                          for m, orig in zip(fmask, flat)])
-
-        def loss_fn(floats, m2d):
-            p = recombine(floats)
+        def loss_fn(p, m2d):
             verts = avatar.select_verts(p, timestep)
-            rendering, out = render_avatar_frame(
-                avatar, p, verts, ao_map, (ca, width, height), camera_idx,
-                active_sh_degree, bg, white_bkgd, means2d_offset=m2d,
-                tile_capacity=tile_capacity)
-            rendering = jnp.clip(rendering, 0.0, 1.0)
-            gt = gt_rgb * gt_msk + (1.0 - gt_msk if white_bkgd else 0.0)
-            ll1 = l1_loss(rendering, gt)
-            ds = 1.0 - ssim(rendering, gt)
-            loss = (1.0 - weights.dssim) * ll1 + weights.dssim * ds
-            # nan (not 0.0) when disabled: a log line reading "lpips
-            # 0.00000" would suggest the term is active and converged
-            lp = jnp.full((), jnp.nan)
-            if lpips_fn is not None:
-                lp = lpips_fn(rendering[None], gt[None])
-                loss = loss + weights.lpips * lp
-            loss = loss + weights.normal * avatar.normal_loss(verts)
-            loss = loss + weights.opacity * avatar.opacity_loss(p)
-            loss = loss + weights.iso * avatar.iso_loss(verts)
-            loss = loss + weights.area * avatar.area_loss(verts)
-            # xyz / scale threshold regs over visible gaussians
-            # (train_appearance.py:147-148)
-            visible = (out["radii"] > 0) & p.splats.alive
-            # safe norms: ||.|| has a NaN gradient at exactly zero (the
-            # xyz offsets start at 0), so add eps inside the sqrt
-            def _norm(v):
-                return jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-12)
-            xyz_excess = jax.nn.relu(_norm(p.splats.xyz)
-                                     - weights.threshold_xyz)
-            loss = loss + weights.xyz * _masked_mean(xyz_excess, visible)
-            scale_excess = _norm(jax.nn.relu(
-                jnp.exp(p.splats.scaling) - weights.threshold_scale))
-            loss = loss + weights.scale * _masked_mean(scale_excess,
-                                                       visible)
-            if weights.offset:
-                loss = loss + weights.offset * jnp.mean(
-                    jnp.abs(p.verts_offset[timestep]))
-            aux = {"l1": ll1, "dssim": ds, "lpips": lp,
-                   "radii": out["radii"], "alpha": out["alpha"],
-                   "visible": visible,
-                   "big_overflow": out["big_overflow"],
-                   "work_overflow": out["work_overflow"]}
-            return loss, aux
+            return frame_loss(
+                avatar, weights, p, m2d, verts, p.verts_offset[timestep],
+                ao_map, ca, width, height, camera_idx, gt_rgb, gt_msk,
+                active_sh_degree, bg, white_bkgd, tile_capacity, work_cap,
+                chunk, lpips_fn)
 
-        floats_in = [l for l, m in zip(flat, fmask) if m]
         m2d0 = jnp.zeros((params.splats.capacity, 2))
-        (loss, aux), (fgrads, vgrad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(floats_in, m2d0)
+        (loss, aux), grads, vgrad = float_leaf_grads(params, loss_fn, m2d0)
         # pixel-space -> NDC-scale view-space gradient (see docstring)
         aux["vgrad"] = vgrad * jnp.asarray(
             [0.5 * width, 0.5 * height], vgrad.dtype)
-        it = iter(fgrads)
-        grads = jax.tree.unflatten(
-            treedef, [next(it) if m else jnp.zeros_like(orig)
-                      for m, orig in zip(fmask, flat)])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(
-            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
-            else p, params, updates)
+        params, opt_state = apply_updates_float(tx, params, grads,
+                                                opt_state)
         return params, opt_state, loss, aux
 
     return train_step
