@@ -122,10 +122,43 @@ def _fwd(pgT, pix0, nc, block_w, interpret):
     return _seg_pallas(pgT, pix0, nc, block_w, interpret), (pgT, pix0)
 
 
+def _seg_bwd_pallas(pgT, pix0, g, nc: int, block_w: int,
+                    interpret: bool):
+    """Pallas backward: recompute the block's forward in VMEM and apply
+    its VJP there.  The XLA re-trace backward materialized every
+    (W, C, P) intermediate in HBM (~10x the forward's wall clock at the
+    1500x1000 appearance-training shape); here residuals live and die in
+    the block's VMEM, so HBM traffic is the packed instances + cotangent
+    in, d(packed) out — the same streams as the forward."""
+    W, D, C = pgT.shape
+
+    def kernel(pg_ref, pix_ref, g_ref, dpg_ref):
+        pix = pix_ref[...]
+        _, vjp = jax.vjp(lambda a: _seg_math(a, pix, nc), pg_ref[...])
+        (dpg,) = vjp(g_ref[...])
+        dpg_ref[...] = dpg
+
+    return pl.pallas_call(
+        kernel,
+        grid=(W // block_w,),
+        in_specs=[
+            pl.BlockSpec((block_w, D, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_w, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_w, nc + 1, _P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_w, D, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, D, C), jnp.float32),
+        interpret=interpret,
+    )(pgT, pix0, g)
+
+
 def _bwd(nc, block_w, interpret, res, g):
     pgT, pix0 = res
-    _, vjp = jax.vjp(lambda a: _seg_math(a, pix0, nc), pgT)
-    (dpg,) = vjp(g)
+    dpg = _seg_bwd_pallas(pgT, pix0, g, nc, block_w, interpret)
     return dpg, jnp.zeros_like(pix0)
 
 
