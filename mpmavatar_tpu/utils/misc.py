@@ -40,9 +40,17 @@ def safe_state(seed: int = 0, silent: bool = False):
 def run_subprocess(command, label: str = "subprocess", check: bool = True):
     """Run a command, streaming output with a label prefix."""
     print(f"[{label}] $ {' '.join(map(str, command))}", flush=True)
-    proc = subprocess.Popen(list(map(str, command)),
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
+    try:
+        proc = subprocess.Popen(list(map(str, command)),
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+    except FileNotFoundError as e:
+        # missing binary (e.g. no ffmpeg in the image): degrade like a
+        # nonzero exit under check=False instead of crashing the driver
+        if check:
+            raise
+        print(f"[{label}] unavailable: {e}", flush=True)
+        return 127
     for line in proc.stdout:
         print(f"[{label}] {line}", end="", flush=True)
     rc = proc.wait()
