@@ -73,8 +73,46 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(total)
 
 
+def expected_weight_schema() -> Dict[str, tuple]:
+    """Golden schema for the weights npz: 13 VGG16 convs (3x3, channel
+    ladder from _VGG_CFG) + 5 linear heads sized to the tapped stages
+    (richzhang LinLayers, lpipsPyTorch/modules/networks.py:20-34)."""
+    schema = {}
+    c_in = 3
+    ci = 0
+    stage_ch = {}
+    for item in _VGG_CFG:
+        if item == "M":
+            continue
+        schema[f"conv{ci}_w"] = (item, c_in, 3, 3)
+        schema[f"conv{ci}_b"] = (item,)
+        if ci in _STAGE_ENDS:
+            stage_ch[ci] = item
+        c_in = item
+        ci += 1
+    for i, end in enumerate(_STAGE_ENDS):
+        schema[f"lin{i}_w"] = (1, stage_ch[end], 1, 1)
+    return schema
+
+
 def load_weights_npz(path: str) -> Dict:
+    """Load + validate a weights npz against the golden schema; a
+    mismatched file fails loudly here instead of deep inside jit."""
     data = np.load(path)
+    schema = expected_weight_schema()
+    missing = sorted(set(schema) - set(data.files))
+    extra = sorted(set(data.files) - set(schema))
+    if missing or extra:
+        raise ValueError(
+            f"LPIPS weights npz {path!r} does not match the expected "
+            f"schema (export_weights_npz layout): missing={missing} "
+            f"unexpected={extra}")
+    bad = [f"{k}: got {data[k].shape}, want {schema[k]}"
+           for k in schema if tuple(data[k].shape) != schema[k]]
+    if bad:
+        raise ValueError(
+            f"LPIPS weights npz {path!r} has wrong shapes: "
+            + "; ".join(bad))
     return {k: jnp.asarray(v) for k, v in data.items()}
 
 
