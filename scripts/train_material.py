@@ -23,6 +23,12 @@ def main():
     parser = argparse.ArgumentParser()
     add_dataclass_args(parser, ModelParams)
     add_dataclass_args(parser, OptimizationParams)
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON config (scripts/configs/*.json) whose "
+                             "values become flag defaults; explicit CLI "
+                             "flags still override — the layered "
+                             "upper/lower passes are driven this way "
+                             "(scripts/physics/4ddress_s170_*.sh parity)")
     parser.add_argument("--run_eval", action="store_true")
     parser.add_argument("--skip_sim", action="store_true",
                         help="eval: reuse existing uvmesh/*.obj")
@@ -35,6 +41,16 @@ def main():
                              "num_joint_v, num_joint_f; optional "
                              "human_verts + cloth_v_idx/human_v_idx for "
                              "layered merge")
+    pre, _ = parser.parse_known_args()
+    if pre.config:
+        import json
+        with open(pre.config) as f:
+            overrides = json.load(f)
+        known = {a.dest for a in parser._actions}
+        bad = sorted(set(overrides) - known)
+        if bad:
+            parser.error(f"unknown config keys in {pre.config}: {bad}")
+        parser.set_defaults(**overrides)
     args = parser.parse_args()
     cfg = extract_dataclass(args, ModelParams)
     opt = extract_dataclass(args, OptimizationParams)
