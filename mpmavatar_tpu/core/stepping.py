@@ -639,18 +639,38 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
     a_min, a_max = dx * 2.0, cfg.grid_lim - dx * 2.0
     new_x = jnp.clip(state.x + dt * new_v, a_min, a_max)
 
-    # vertex + traditional blocks
+    # vertex + traditional blocks.  One packed (P, 15) select instead of
+    # three narrow ones: (P, 3)-wide elementwise ops pad their 3 lanes
+    # to 128 on TPU (~42x waste); the concat runs the same select at 15
+    # lanes (A/B at the 250^3 demo shape: 1.44 -> 1.18 ms).
     nonelem = jnp.zeros((P,), bool).at[E:].set(True)
-    upd = sel & nonelem
-    x1 = jnp.where(upd[:, None], new_x, state.x)
-    v1 = jnp.where(upd[:, None], new_v, state.v)
-    c1 = jnp.where(upd[:, None, None], new_c, state.C)
+    upd = (sel & nonelem)[:, None]
+    old_pack = jnp.concatenate([state.x, state.v,
+                                state.C.reshape(P, 9)], -1)
+    new_pack = jnp.concatenate([new_x, new_v, new_c.reshape(P, 9)], -1)
+    out_pack = jnp.where(upd, new_pack, old_pack)
+    x1 = out_pack[:, 0:3]
+    v1 = out_pack[:, 3:6]
+    c1 = out_pack[:, 6:15].reshape(P, 3, 3)
 
     if T > 0:
-        gv_t = grad_v[E:E + T]
-        f_trial = (_I3[None] + gv_t * dt) @ state.F
-        sel_t = sel[E:E + T]
-        f_trial = jnp.where(sel_t[:, None, None], f_trial, state.F_trial)
+        # F_trial = (I + dt ∇v) F in channel-major (9, T): XLA lowers the
+        # (T, 3, 3) batched matmul with 3-wide lanes (3.2 ms for 2.7
+        # MFLOP at 100k sand); as 27 lane-full multiply-adds over (T,)
+        # vectors it is 1.2 ms (A/B on chip).
+        gv9 = grad_v[E:E + T].reshape(T, 9).T          # (9, T)
+        f9 = state.F.reshape(T, 9).T
+        rows = []
+        for a in range(3):
+            for b in range(3):
+                acc = f9[3 * a + b]
+                for c in range(3):
+                    acc = acc + dt * gv9[3 * a + c] * f9[3 * c + b]
+                rows.append(acc)
+        f_new = jnp.stack(rows, 0)                     # (9, T)
+        f_new = jnp.where(sel[None, E:E + T], f_new,
+                          state.F_trial.reshape(T, 9).T)
+        f_trial = f_new.T.reshape(T, 3, 3)
     else:
         f_trial = state.F_trial
 
