@@ -34,10 +34,44 @@ def init_vposer(key, num_neurons=512, latent_dim=32, n_joints=21) -> Dict:
             "n_joints": n_joints}
 
 
+_DECODER_SHAPES = {  # official VPoser(512, 32, [3, 21]) decoder
+    "bodyprior_dec_fc1.weight": (512, 32),
+    "bodyprior_dec_fc1.bias": (512,),
+    "bodyprior_dec_fc2.weight": (512, 512),
+    "bodyprior_dec_fc2.bias": (512,),
+    "bodyprior_dec_out.weight": (126, 512),
+    "bodyprior_dec_out.bias": (126,),
+}
+
+
 def load_vposer_torch(path: str) -> Dict:
-    """Convert the official torch checkpoint to our param dict."""
+    """Convert the official ``TR00_E096.pt`` checkpoint to our param dict.
+
+    The file is a plain ``state_dict`` of the full VAE (encoder BN/fc
+    layers + decoder) saved by human_body_prior; the reference loads it
+    with ``VPoser(512, 32, [3, 21]).load_state_dict(torch.load(...))``
+    (/root/reference/utils/smplx_deformer.py:32-35).  Only the decoder
+    weights matter for pose decoding; encoder keys are ignored.  Fails
+    loudly on missing or mis-shaped decoder keys, and tolerates a
+    ``state_dict``/``vp_model.`` wrapping some re-exports use."""
     import torch
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd and not any(
+            k.startswith("bodyprior_dec") for k in sd):
+        sd = sd["state_dict"]
+    sd = {k[len("vp_model."):] if k.startswith("vp_model.") else k: v
+          for k, v in sd.items()}
+    missing = [k for k in _DECODER_SHAPES if k not in sd]
+    if missing:
+        raise ValueError(
+            f"VPoser checkpoint {path!r} lacks decoder keys {missing}; "
+            f"found {sorted(sd)[:8]}...")
+    bad = [f"{k}: {tuple(sd[k].shape)} != {s}"
+           for k, s in _DECODER_SHAPES.items()
+           if tuple(sd[k].shape) != s]
+    if bad:
+        raise ValueError(f"VPoser checkpoint {path!r} decoder shape "
+                         f"mismatch: {bad}")
     get = lambda k: jnp.asarray(sd[k].numpy())
     return {
         "fc1": {"w": get("bodyprior_dec_fc1.weight").T,
@@ -55,15 +89,24 @@ def _leaky(x, slope=0.2):
 
 
 def rot6d_to_matrix(x):
-    """Continuous 6D rotation representation -> (..., 3, 3)."""
-    a1 = x[..., 0:3]
-    a2 = x[..., 3:6]
+    """Continuous 6D rotation representation -> (..., 3, 3).
+
+    Matches human_body_prior's ``ContinousRotReprDecoder`` exactly (the
+    module the official TR00_E096.pt decoder head was trained against):
+    the 6 outputs per joint are ``view(-1, 3, 2)``, so the two raw basis
+    vectors are the INTERLEAVED strides ``x[..., 0::2]`` / ``x[..., 1::2]``
+    (not the contiguous halves), and the orthonormal frame is stacked as
+    COLUMNS (``torch.stack([b1, b2, b3], dim=-1)``).  Using the
+    contiguous-halves row convention with the official weights would
+    decode transposed rotations from swapped bases."""
+    a1 = x[..., 0::2]
+    a2 = x[..., 1::2]
     b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True),
                           1e-8)
     b2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
     b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
     b3 = jnp.cross(b1, b2)
-    return jnp.stack([b1, b2, b3], axis=-2)
+    return jnp.stack([b1, b2, b3], axis=-1)
 
 
 def vposer_decode(params: Dict, latent: jnp.ndarray) -> jnp.ndarray:
