@@ -685,7 +685,17 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
         d1 = xb - xa
         d2 = xc - xa
         d3_old = state.d[..., :, 2]
-        d3 = d3_old + dt * jnp.einsum("eab,eb->ea", grad_v[:E], d3_old)
+        # d3 += dt * grad_v @ d3 as 9 lane-full FMAs over (E,) vectors:
+        # the (E,3,3)@(E,3) batched matvec lowers to 3-wide-lane ops
+        # (and standalone compiles to a pathological loop at E~67k —
+        # 545 vs 5.6 ms, scripts/ab_g2p_tail.py)
+        gvE = grad_v[:E].reshape(E, 9).T               # (9, E)
+        d3o = d3_old.T                                 # (3, E)
+        d3 = jnp.stack(
+            [d3o[a] + dt * (gvE[3 * a + 0] * d3o[0]
+                            + gvE[3 * a + 1] * d3o[1]
+                            + gvE[3 * a + 2] * d3o[2])
+             for a in range(3)], 0).T
         new_d = jnp.stack([d1, d2, d3], axis=-1)
 
         sel_e = sel[:E]
