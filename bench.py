@@ -262,8 +262,11 @@ def main():
             extra["appearance_error"] = str(e)[:200]
     mem = {}
     try:
-        ms = jax.local_devices()[0].memory_stats() or {}
-        mem = {"peak_bytes": int(ms.get("peak_bytes_in_use", 0))}
+        # memory_stats() returns None through the axon tunnel — omit the
+        # key rather than report a misleading 0
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and ms.get("peak_bytes_in_use"):
+            mem = {"peak_bytes": int(ms["peak_bytes_in_use"])}
     except Exception:
         pass
     print(json.dumps({
