@@ -678,12 +678,18 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
     if E > 0:
         voff = E + T
         fi = state.faces + voff
-        xa, xb, xc = x1[fi[:, 0]], x1[fi[:, 1]], x1[fi[:, 2]]
-        va, vb, vc = v1[fi[:, 0]], v1[fi[:, 1]], v1[fi[:, 2]]
-        ex = (xa + xb + xc) / 3.0
-        ev = (va + vb + vc) / 3.0
-        d1 = xb - xa
-        d2 = xc - xa
+        # three full-row gathers of the packed (P, 15) rows instead of
+        # six 3-wide gathers from x1/v1 (1.40 vs 1.74 ms at E~67k).
+        # NOTE: gather-then-slice; a sliced gather (`pack[fi, :6]`)
+        # lowers to a pathological strided gather (195 ms,
+        # scripts/ab_g2p_tail.py).
+        pa = out_pack[fi[:, 0]]
+        pb = out_pack[fi[:, 1]]
+        pc = out_pack[fi[:, 2]]
+        avg = (pa + pb + pc) / 3.0
+        ex, ev = avg[:, 0:3], avg[:, 3:6]
+        d1 = (pb - pa)[:, 0:3]
+        d2 = (pc - pa)[:, 0:3]
         d3_old = state.d[..., :, 2]
         # d3 += dt * grad_v @ d3 as 9 lane-full FMAs over (E,) vectors:
         # the (E,3,3)@(E,3) batched matvec lowers to 3-wide-lane ops
