@@ -260,6 +260,32 @@ def main():
         except Exception as e:
             print(f"appearance bench failed: {e!r}", file=sys.stderr)
             extra["appearance_error"] = str(e)[:200]
+        try:
+            import bench_tracking
+            trk = bench_tracking.main(quiet=True)
+            extra["tracking_steps_per_sec"] = trk["value"]
+            extra["tracking_min_per_frame_3k_iters"] = \
+                trk["projected_min_per_frame_3k_iters"]
+        except Exception as e:
+            print(f"tracking bench failed: {e!r}", file=sys.stderr)
+            extra["tracking_error"] = str(e)[:200]
+        try:
+            # stage-3 gradient step at the reference's production shape:
+            # value_and_grad through 1 frame x 400 substeps at 200^3 with
+            # a ~100k-particle garment (VERDICT r4 item 2)
+            import os
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts"))
+            import stage3_production as s3
+            import argparse as _ap
+            g = s3.run_bench(_ap.Namespace(
+                nx=183, grid=200, substep=400, frames=1, reps=2,
+                quiet=True))
+            extra["material_grad_step_sec"] = g["value"]
+            extra["material_grad_over_forward"] = g["grad_over_forward"]
+        except Exception as e:
+            print(f"material grad bench failed: {e!r}", file=sys.stderr)
+            extra["material_grad_error"] = str(e)[:200]
     mem = {}
     try:
         # memory_stats() returns None through the axon tunnel — omit the

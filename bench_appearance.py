@@ -122,16 +122,24 @@ def main(quiet=False, iters=10, width=1500, height=1000,
         return step(params, opt_state, 0, 0, ca, gt_rgb, gt_msk, ao,
                     width, height)
 
+    def sync(params, loss):
+        # device->host readbacks: genuinely wait for the whole step (the
+        # tunneled runtime's block_until_ready can return early — same
+        # discipline as bench.py's sim sync).  The params leaf depends on
+        # the full backward + optimizer chain, loss on the forward.
+        float(loss)
+        float(jnp.sum(params.cam_m))
+
     params, opt_state, loss, aux = run(params, opt_state)
     assert np.isfinite(float(loss)), "train step produced NaN loss"
     assert int(aux["work_overflow"]) == 0 and \
         int(aux["big_overflow"]) == 0, "rasterizer caps overflowed"
-    jax.block_until_ready(params)
+    sync(params, loss)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss, aux = run(params, opt_state)
-    jax.block_until_ready(loss)
+    sync(params, loss)
     dt = time.perf_counter() - t0
     sps = iters / dt
     stage2_hours = 30_000 / sps / 3600.0

@@ -101,10 +101,16 @@ def rot6d_to_matrix(x):
     decode transposed rotations from swapped bases."""
     a1 = x[..., 0::2]
     a2 = x[..., 1::2]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True),
-                          1e-8)
+    # sqrt(sum^2 + eps^2) norms: jnp.linalg.norm has a NaN GRADIENT at
+    # zero input (d||a||/da = a/||a||), and a zero 6D vector is exactly
+    # what an untrained decoder head emits — the joint-SMPL-X tracking
+    # fit differentiates through here (train/tracking.py step_joint).
+    # Value change vs the clamped norm is O(eps) = O(1e-8).
+    n1 = jnp.sqrt(jnp.sum(a1 * a1, -1, keepdims=True) + 1e-16)
+    b1 = a1 / n1
     b2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    n2 = jnp.sqrt(jnp.sum(b2 * b2, -1, keepdims=True) + 1e-16)
+    b2 = b2 / n2
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 
@@ -114,22 +120,32 @@ def vposer_decode(params: Dict, latent: jnp.ndarray) -> jnp.ndarray:
     x = _leaky(latent @ params["fc1"]["w"] + params["fc1"]["b"])
     x = _leaky(x @ params["fc2"]["w"] + params["fc2"]["b"])
     x = x @ params["out"]["w"] + params["out"]["b"]
-    n = params["n_joints"]
+    # n_joints from the STATIC output-layer width, not the params dict's
+    # "n_joints" int — under jit the whole dict is traced and an int leaf
+    # becomes a tracer, which would make the reshape shape-dependent
+    # (hit by MeshTracker.step_joint, which takes vposer as a jit arg)
+    n = params["out"]["w"].shape[-1] // 6
     return rot6d_to_matrix(x.reshape(latent.shape[0], n, 6))
 
 
 def matrix_to_axis_angle(r):
-    """(..., 3, 3) -> (..., 3) rotation vectors (for smplx body_pose)."""
+    """(..., 3, 3) -> (..., 3) rotation vectors (for smplx body_pose).
+
+    atan2 formulation: arccos((trace-1)/2) has an INFINITE gradient at
+    identity (cos -> 1), and identity rotations are routine (rest pose)
+    — the joint tracking fit differentiates through this.  Values match
+    arccos on [0, pi] (sin(theta) >= 0 there)."""
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    angle = jnp.arccos(cos)
-    axis = jnp.stack([r[..., 2, 1] - r[..., 1, 2],
-                      r[..., 0, 2] - r[..., 2, 0],
-                      r[..., 1, 0] - r[..., 0, 1]], -1)
-    sin = jnp.sin(angle)
-    safe = jnp.abs(sin) > 1e-6
+    axis_raw = jnp.stack([r[..., 2, 1] - r[..., 1, 2],
+                          r[..., 0, 2] - r[..., 2, 0],
+                          r[..., 1, 0] - r[..., 0, 1]], -1)  # 2 sin * axis
+    # grad-safe |sin|: sqrt(x + eps) never differentiates 1/sqrt(0)
+    sin = 0.5 * jnp.sqrt(jnp.sum(axis_raw * axis_raw, -1) + 1e-16)
+    angle = jnp.arctan2(sin, cos)
+    safe = sin > 1e-6
     axis = jnp.where(safe[..., None],
-                     axis / jnp.where(safe, 2.0 * sin, 1.0)[..., None],
+                     axis_raw / jnp.where(safe, 2.0 * sin, 1.0)[..., None],
                      jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
-                                      axis.shape))
+                                      axis_raw.shape))
     return axis * angle[..., None]

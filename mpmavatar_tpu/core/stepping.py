@@ -680,9 +680,9 @@ def g2p(cfg: MPMStaticConfig, state: MPMState, model: MPMModel,
         fi = state.faces + voff
         # three full-row gathers of the packed (P, 15) rows instead of
         # six 3-wide gathers from x1/v1 (1.40 vs 1.74 ms at E~67k).
-        # NOTE: gather-then-slice; a sliced gather (`pack[fi, :6]`)
-        # lowers to a pathological strided gather (195 ms,
-        # scripts/ab_g2p_tail.py).
+        # NOTE: gather-then-slice ("fullrow" in scripts/ab_g2p_tail.py);
+        # a sliced gather (`pack[fi, :6]`, the script's "packgat")
+        # lowers to a pathological strided gather (195 ms).
         pa = out_pack[fi[:, 0]]
         pb = out_pack[fi[:, 1]]
         pc = out_pack[fi[:, 2]]

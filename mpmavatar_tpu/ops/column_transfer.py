@@ -158,12 +158,13 @@ def build_bins(x: jnp.ndarray, cfg: MPMStaticConfig, K: int,
     row_capped = jnp.clip(row_of_p, 0, c_cap - 1).astype(jnp.int32)
 
     # pid table: ONE P-sized scatter into the (c_cap, K) slot table
-    # (replaces a 2x slower C*K flat gather); overflow lands in a dump
-    # row sliced off below.
+    # (replaces a 2x slower C*K flat gather); overflow particles get an
+    # out-of-bounds index and mode="drop" discards them — in-bounds
+    # indices stay unique, so unique_indices=True holds without the UB
+    # of several particles sharing one dump slot.
     pos = jnp.where(ok, row_of_p * K + slot_of_p, c_cap * K)
-    pid = jnp.full((c_cap * K + 1,), P, jnp.int32).at[pos].set(
-        perm, unique_indices=True,
-        mode="promise_in_bounds")[:c_cap * K].reshape(c_cap, K)
+    pid = jnp.full((c_cap * K,), P, jnp.int32).at[pos].set(
+        perm, unique_indices=True, mode="drop").reshape(c_cap, K)
     valid = pid < P
     # slot 0 of every live row is always filled (chunk c exists only if
     # the column holds > c*K points), so the row's column id is the bin

@@ -80,25 +80,43 @@ def make_dp_appearance_step(avatar, opt, tx, device_mesh: Mesh,
 
     def step(params, opt_state, ds, cam_b, cidx_b, t_b, verts_b, ao_b,
              rgb_b, msk_b):
-        loss, grads, stats, metrics = jax.vmap(
-            one_sample_grads, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
-                params, cam_b, cidx_b, t_b, verts_b, ao_b, rgb_b, msk_b)
+        # UNROLLED local-batch loop, not vmap: the local shard is small
+        # (usually 1 sample/device) and static, and a vmapped rasterizer
+        # lowers catastrophically on TPU (the tile compositor's scans and
+        # Pallas VJP pick up a batch dim they were never laid out for —
+        # measured 225x slower than the unsharded step at local B=1 on a
+        # v5e; unrolled it matches the single-device step).
+        local_b = rgb_b.shape[0]
+        loss = grads = stats = metrics = None
+        for i in range(local_b):
+            li, gi, si, mi = one_sample_grads(
+                params, jax.tree.map(lambda a: a[i], cam_b), cidx_b[i],
+                t_b[i], verts_b[i], ao_b[i], rgb_b[i], msk_b[i])
+            if loss is None:
+                loss, grads, stats, metrics = li, gi, si, mi
+            else:
+                loss = loss + li
+                grads = jax.tree.map(jnp.add, grads, gi)
+                stats = (stats[0] + si[0], stats[1] + si[1],
+                         jnp.maximum(stats[2], si[2]))
+                metrics = jax.tree.map(jnp.add, metrics, mi)
+        inv_b = 1.0 / local_b
         # cross-device gradient mean (params replicated, batch sharded)
-        loss = jax.lax.pmean(jnp.mean(loss), axis)
+        loss = jax.lax.pmean(loss * inv_b, axis)
         grads = jax.tree.map(
-            lambda g: jax.lax.pmean(jnp.mean(g, axis=0), axis), grads)
+            lambda g: jax.lax.pmean(g * inv_b, axis), grads)
         # densification stats: SUM over the global batch (each sample ==
         # one reference iteration), max for the screen radii
-        gn_sum = jax.lax.psum(jnp.sum(stats[0], 0), axis)
-        vis_sum = jax.lax.psum(jnp.sum(stats[1], 0), axis)
-        rad_max = jax.lax.pmax(jnp.max(stats[2], 0), axis)
+        gn_sum = jax.lax.psum(stats[0], axis)
+        vis_sum = jax.lax.psum(stats[1], axis)
+        rad_max = jax.lax.pmax(stats[2], axis)
         ds = G.DensifyState(
             xyz_gradient_accum=ds.xyz_gradient_accum + gn_sum[:, None],
             denom=ds.denom + vis_sum[:, None],
             max_radii2d=jnp.maximum(ds.max_radii2d, rad_max))
-        metrics = {k: jax.lax.pmean(jnp.mean(v), axis)
+        metrics = {k: jax.lax.pmean(v * inv_b, axis)
                    if jnp.issubdtype(v.dtype, jnp.floating)
-                   else jax.lax.psum(jnp.sum(v), axis)
+                   else jax.lax.psum(v, axis)
                    for k, v in metrics.items()}
         params, opt_state = apply_updates_float(tx, params, grads,
                                                 opt_state)

@@ -102,8 +102,8 @@ def _fibonacci_hemisphere(n: int) -> np.ndarray:
                                    "n_steps"))
 def bake_ao(verts, faces, chart_face_idx, chart_bary, chart_texel,
             resolution: int = 256, grid_res: int = 96, n_rays: int = 32,
-            n_steps: int = 12, max_dist: float = 0.5,
-            occupancy_sigma: float = 1.5):
+            n_steps: int = 48, max_dist: float = 0.5,
+            occupancy_sigma: float = 1.5, extinction: float = 2.0):
     """Bake a (1, res, res) AO map for the posed mesh.
 
     Occlusion = soft occupancy (surface-sample density splatted to a
@@ -183,8 +183,16 @@ def bake_ao(verts, faces, chart_face_idx, chart_bary, chart_texel,
     occ_along = sample_occ(ray_pts)                           # (T, R, S)
     voxel = 1.0 / scale.max()
     dls = jnp.diff(jnp.concatenate([jnp.zeros((1,)), ts]))
+    # ``extinction`` scales the optical depth so ONE crossing of a thin
+    # (1-voxel) surface shell attenuates strongly, approaching the
+    # binary visibility of a ray-traced bake: k=2 transmits e^-2 = 14%
+    # per full-occupancy shell instead of e^-1 = 37%.  k=2 + 48 steps is
+    # the bias-zero point against the exact ray-traced garment-patch
+    # oracle (tests/test_preprocess_ao.py::test_ao_garment_oracle:
+    # mean |err| 0.197 -> 0.107, under-flap 0.74 -> 0.29 vs oracle 0.23)
+    # and does not regress the closed-form sphere-plane bound (0.0215).
     tau = jnp.sum(occ_along * dls[None, None, :], axis=-1) / voxel
-    vis = jnp.exp(-tau)
+    vis = jnp.exp(-extinction * tau)
     ao = jnp.mean(vis, axis=-1)                               # (T,)
 
     img = jnp.ones((resolution, resolution))

@@ -218,14 +218,26 @@ class MaterialTrainer:
             # cloth can drift past the headroom mid-training — overflowing
             # bins silently drop particles and corrupt loss AND gradient,
             # so the caller must fail loud (ADVICE r2)
+            #
+            # two-level remat (SURVEY.md §7.2): the frame body is
+            # checkpointed HERE so the forward stores only per-frame
+            # states; solver.frame(remat=True) checkpoints the substep
+            # body so the backward of one frame stores substep carries,
+            # not per-substep grid intermediates.  Without the frame
+            # level, a production rollout (24 frames x 400 substeps at
+            # ~100k particles) materializes every frame's 400 substep
+            # carries at once (~5 GB/frame) and cannot fit HBM.
             (_, _, overflow), losses = jax.lax.scan(
-                frame_body, (state, jnp.float32(0.0),
-                             jnp.zeros((), jnp.int32)),
+                jax.checkpoint(frame_body, prevent_cse=False),
+                (state, jnp.float32(0.0),
+                 jnp.zeros((), jnp.int32)),
                 (data["smplx_sim"], data["smplx_velo_sim"],
                  data["joint_velo_sim"], data["target_sim"]))
             return jnp.mean(losses), overflow
 
         vg = jax.jit(jax.value_and_grad(rollout_loss, has_aux=True))
+        # raw (loss, overflow) fn: forward-only timing + diagnostics
+        self._rollout_loss_fn = rollout_loss
         return lambda params: vg(params, self._rollout_data)
 
     def train_one_step(self):

@@ -2,12 +2,16 @@
 the TPU at the demo shape.  Candidates:
 
   base     current stepping.g2p
-  packgat  face-vertex reads as 3 gathers of the packed (P,15) rows
-           (instead of 6 gathers of 3-wide rows from x1/v1)
+  packgat  face-vertex reads as 3 SLICED gathers of the packed rows
+           (`out_pack[fi[:, 0], :6]` — lowers to a pathological strided
+           gather; kept as the negative result)
+  fullrow  face-vertex reads as 3 FULL-ROW gathers of the packed (P,15)
+           rows, sliced after the gather — the shipped stepping.g2p
+           formulation
   cmaj_d3  d3 advection as 9 lane-full FMAs over (E,) channel-major
            vectors (instead of a (E,3,3)@(E,3) batched matvec that
            lowers to 3-wide lanes)
-  both     packgat + cmaj_d3
+  both     fullrow + cmaj_d3
 
 Run: python -u scripts/ab_g2p_tail.py
 """
@@ -71,7 +75,7 @@ def main():
         print(f"{name:10s} {ms:8.3f} ms")
         return out
 
-    def g2p_variant(st, g, packgat=False, cmaj_d3=False):
+    def g2p_variant(st, g, packgat=False, fullrow=False, cmaj_d3=False):
         E, T, V = cfg.n_elements, cfg.n_traditional, cfg.n_vertices
         inv_dx, dx = cfg.inv_dx, cfg.dx
         new_v, new_c, grad_v = g
@@ -105,6 +109,8 @@ def main():
         voff = E + T
         fi = st.faces + voff
         if packgat:
+            # sliced gather: `pack[fi, :6]` — measured pathological
+            # (195 ms standalone); kept as the negative result
             pa = out_pack[fi[:, 0], :6]
             pb = out_pack[fi[:, 1], :6]
             pc = out_pack[fi[:, 2], :6]
@@ -112,6 +118,15 @@ def main():
             ex, ev = avg[:, 0:3], avg[:, 3:6]
             d1 = pb[:, 0:3] - pa[:, 0:3]
             d2 = pc[:, 0:3] - pa[:, 0:3]
+        elif fullrow:
+            # full-row gather then slice — matches shipped stepping.g2p
+            pa = out_pack[fi[:, 0]]
+            pb = out_pack[fi[:, 1]]
+            pc = out_pack[fi[:, 2]]
+            avg = (pa + pb + pc) / 3.0
+            ex, ev = avg[:, 0:3], avg[:, 3:6]
+            d1 = (pb - pa)[:, 0:3]
+            d2 = (pc - pa)[:, 0:3]
         else:
             xa, xb, xc = x1[fi[:, 0]], x1[fi[:, 1]], x1[fi[:, 2]]
             va, vb, vc = v1[fi[:, 0]], v1[fi[:, 1]], v1[fi[:, 2]]
@@ -143,8 +158,9 @@ def main():
     base = timeit("base", lambda st, g: stepping.g2p(
         cfg, st, model, grid_dummy, dt, gathered=g), state, gathered)
     for name, kw in [("packgat", dict(packgat=True)),
+                     ("fullrow", dict(fullrow=True)),
                      ("cmaj_d3", dict(cmaj_d3=True)),
-                     ("both", dict(packgat=True, cmaj_d3=True))]:
+                     ("both", dict(fullrow=True, cmaj_d3=True))]:
         out = timeit(name, lambda st, g, kw=kw: g2p_variant(st, g, **kw),
                      state, gathered)
         for i, (a, b) in enumerate(zip(base, out)):

@@ -93,11 +93,13 @@ def main():
     def timeit(name, fn, *a, reps=args.reps):
         f = jax.jit(fn)
         out = f(*a)
-        jax.block_until_ready(out)
+        # honest fence: device->host readback (block_until_ready can
+        # return early on this runtime — bench.py discipline)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
         t0 = time.perf_counter()
         for _ in range(reps):
             out = f(*a)
-        jax.block_until_ready(out)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(f"{name:36s} {ms:8.3f} ms")
         return out

@@ -38,6 +38,17 @@ def main():
                         "in-loop lambda_lpips term + test LPIPS")
     parser.add_argument("--test_iterations", type=int, nargs="+",
                         default=[7000, 30000])
+    parser.add_argument("--tile_capacity", type=int, default=512)
+    parser.add_argument("--work_cap", type=int, default=0,
+                        help="worklist-compositor capacity (0 = plain "
+                        "tile path; 8192 is the bench-proven fast "
+                        "config at 1500x1000/50k)")
+    parser.add_argument("--preload_device", action="store_true",
+                        help="device-cache every unique (cam, frame) "
+                        "image once (reference video mode, "
+                        "actorshq_dataset.py:103-121, pushed to HBM): "
+                        "removes the per-iteration PIL decode + "
+                        "host->device transfer from the train loop")
     args = parser.parse_args()
     cfg = extract_dataclass(args, ModelParams)
     opt = extract_dataclass(args, OptimizationParams)
@@ -59,6 +70,26 @@ def main():
     active_sh = 0
     step = None
     ds = scene.train_dataset
+    if args.preload_device:
+        class _DevCached:
+            """sample() with rgb/msk already ON DEVICE (cached once)."""
+            def __init__(self, base):
+                self.base = base
+                self.camera_list = base.camera_list
+                self.frame_index = base.frame_index
+                self._cache = {}
+
+            def sample(self, rng):
+                i = int(rng.integers(len(self.camera_list)))
+                j = int(rng.integers(len(self.frame_index)))
+                if (i, j) not in self._cache:
+                    b = self.base.load_frame(i, j)
+                    b["rgb"] = jnp.asarray(b["rgb"])
+                    b["msk"] = jnp.asarray(b["msk"])
+                    self._cache[(i, j)] = b
+                return self._cache[(i, j)]
+
+        ds = _DevCached(ds)
     densify_state = G.init_densify_state(params.splats.capacity)
     num_faces = len(avatar.faces)
     for it in range(opt.iterations):
@@ -67,7 +98,9 @@ def main():
             step = None
         if step is None:
             step = make_train_step(avatar, opt, tx, active_sh,
-                                   cfg.white_bkgd, lpips_fn=lpips_fn)
+                                   cfg.white_bkgd, lpips_fn=lpips_fn,
+                                   tile_capacity=args.tile_capacity,
+                                   work_cap=args.work_cap)
         batch = ds.sample(rng)
         cam = batch["cam"]
         t = batch["frame_idx"]
